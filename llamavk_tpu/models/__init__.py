@@ -1,0 +1,11 @@
+from .llama import (
+    ModelConfig,
+    LayerParams,
+    LlamaParams,
+    QEmbedding,
+    embed_tokens,
+    llama_forward,
+    init_kv_cache,
+    KVCache,
+)
+from .loader import load_model, params_from_reader, random_tiny_model

@@ -1,0 +1,249 @@
+"""LLaMA forward pass, TPU-native.
+
+The reference builds a fresh ggml graph per eval (`llama_eval_internal`,
+`llama.cpp:927-1197`); here the whole forward is one traced jit program with
+a `lax.scan` over layers (stacked layer weights), static shapes, and an
+in-place-updated dense KV cache. Mirrors the reference graph exactly:
+
+  x = embed(tokens)
+  per layer:  h  = x + wo @ attn(rope(wq·rms(x)·attn_norm), ...)   (KQ scaled
+              x  = h + w2 @ (silu(w1·rms(h)·ffn_norm) * (w3·rms(h)·ffn_norm))
+  logits = output @ (rms(x) · norm)
+
+K is RoPE'd before caching, like the reference (`llama.cpp:1005`); scores are
+scaled by 1/sqrt(head_dim) with a causal + cache-length mask
+(`llama.cpp:1027-1039` KQ_scaled/diag_mask/softmax).
+
+Weights may be QWeight (4-bit packed, Pallas fused dequant matmul) or dense
+jnp arrays (f16/f32 checkpoints) — `_linear` dispatches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.ggml_io import Hparams
+from ..ops.norms import rms_norm
+from ..ops.q4_matmul import q4_matmul
+from ..ops.qweight import QWeight
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    n_vocab: int
+    n_embd: int
+    n_layer: int
+    n_head: int
+    n_rot: int
+    n_ff: int
+    norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @classmethod
+    def from_hparams(cls, hp: Hparams) -> "ModelConfig":
+        return cls(
+            n_vocab=hp.n_vocab,
+            n_embd=hp.n_embd,
+            n_layer=hp.n_layer,
+            n_head=hp.n_head,
+            n_rot=hp.n_rot,
+            n_ff=hp.n_ff,
+        )
+
+    # model-size names from n_layer, llama.cpp:773-779
+    @property
+    def type_name(self) -> str:
+        return {32: "7B", 40: "13B", 60: "30B", 80: "65B"}.get(self.n_layer, "custom")
+
+
+Weight = QWeight | jax.Array  # a linear layer's weight: packed q4 or dense [K, N]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class QEmbedding:
+    """Q4-quantized embedding table: per-token-row nibbles + scales.
+
+    packed: int8 [V, K//2] (split-half along the embedding dim, linear order),
+    scales: [V, G]; bias: optional [V, G] (Q4_1).
+    """
+
+    packed: jax.Array
+    scales: jax.Array
+    bias: jax.Array | None
+    k: int = field(metadata=dict(static=True), default=0)
+
+
+Embedding = QEmbedding | jax.Array  # dense [V, K] or quantized
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LayerParams:
+    attn_norm: jax.Array  # [n_embd]
+    wq: Weight
+    wk: Weight
+    wv: Weight
+    wo: Weight
+    ffn_norm: jax.Array  # [n_embd]
+    w1: Weight  # gate  [n_embd, n_ff]
+    w2: Weight  # down  [n_ff, n_embd]
+    w3: Weight  # up    [n_embd, n_ff]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LlamaParams:
+    tok_embeddings: Embedding
+    layers: LayerParams  # stacked: every leaf has a leading n_layer dim
+    norm: jax.Array
+    output: Weight
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class KVCache:
+    """Dense per-layer KV slabs, [L, B, S, H, D]. The TPU analog of the
+    reference's kv_cache (llama.cpp:671-700); stored bf16 by default
+    (the f16_kv option)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16, n_head_local: int | None = None
+) -> KVCache:
+    h = cfg.n_head if n_head_local is None else n_head_local
+    shape = (cfg.n_layer, batch, max_len, h, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _linear(x: jax.Array, w: Weight, **kw) -> jax.Array:
+    if isinstance(w, QWeight):
+        return q4_matmul(x, w, **kw)
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
+def embed_tokens(emb: Embedding, tokens: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """tokens [B, T] → activations [B, T, n_embd]."""
+    if isinstance(emb, QEmbedding):
+        p = emb.packed[tokens].astype(jnp.int32)  # [B, T, K//2]
+        lo = (p << 28) >> 28
+        hi = p >> 4
+        qs = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)  # [B, T, K]
+        s = jnp.repeat(emb.scales[tokens].astype(jnp.float32), 32, axis=-1)
+        # linear layout: element order after concat is [0..K/2) ++ [K/2..K)
+        x = qs * s
+        if emb.bias is not None:
+            x = x + jnp.repeat(emb.bias[tokens].astype(jnp.float32), 32, axis=-1)
+        return x.astype(dtype)
+    return emb[tokens].astype(dtype)
+
+
+def _attention(
+    q: jax.Array,  # [B, T, H, D]
+    k_cache: jax.Array,  # [B, S, H, D]
+    v_cache: jax.Array,  # [B, S, H, D]
+    n_past: jax.Array,  # scalar int32
+    mesh_axis: str | None = None,
+) -> jax.Array:
+    """Causal attention of T new queries against the (updated) cache."""
+    b, t, h, d = q.shape
+    s = k_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)
+    ) * scale
+    # position j visible to query t iff j <= n_past + t
+    jpos = jnp.arange(s)[None, :]
+    tpos = n_past + jnp.arange(t)[:, None]
+    mask = jpos <= tpos  # [T, S]
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32))
+    return out
+
+
+def llama_forward(
+    params: LlamaParams,
+    tokens: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    n_past: jax.Array,  # scalar int32: tokens already in cache
+    cfg: ModelConfig,
+    logits_all: bool = False,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, KVCache, jax.Array]:
+    """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
+
+    logits: [B, T, n_vocab] f32 if logits_all else [B, 1, n_vocab] (last
+    position only — the reference's default, llama.cpp:1152-1163).
+    embeddings: [B, n_embd] f32 — final-norm activations of the last token
+    (llama_get_embeddings parity, llama.cpp:1166-1171).
+    """
+    b, t = tokens.shape
+    h, d = cfg.n_head, cfg.head_dim
+    x = embed_tokens(params.tok_embeddings, tokens, dtype=dtype)  # [B, T, K]
+
+    positions = n_past + jnp.arange(t)
+    cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [T, D/2]
+
+    def layer_step(x, layer_inputs):
+        lp, k_l, v_l = layer_inputs
+        # --- attention block (llama.cpp:976-1070)
+        xa = rms_norm(x, lp.attn_norm, cfg.norm_eps)
+        q = _linear(xa, lp.wq).reshape(b, t, h, d)
+        k = _linear(xa, lp.wk).reshape(b, t, h, d)
+        v = _linear(xa, lp.wv).reshape(b, t, h, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
+        k_l = jax.lax.dynamic_update_slice(
+            k_l, k.astype(k_l.dtype), (0, n_past, 0, 0)
+        )
+        v_l = jax.lax.dynamic_update_slice(
+            v_l, v.astype(v_l.dtype), (0, n_past, 0, 0)
+        )
+        attn = _attention(q, k_l, v_l, n_past)  # [B, T, H, D] f32
+        attn = attn.reshape(b, t, h * d).astype(dtype)
+        x = x + _linear(attn, lp.wo)
+        # --- FFN block (llama.cpp:1073-1101)
+        xf = rms_norm(x, lp.ffn_norm, cfg.norm_eps)
+        gate = _linear(xf, lp.w1)
+        up = _linear(xf, lp.w3)
+        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
+            dtype
+        )
+        x = x + _linear(act, lp.w2)
+        return x, (k_l, v_l)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_step, x, (params.layers, cache.k, cache.v)
+    )
+
+    xn = rms_norm(x, params.norm, cfg.norm_eps)
+    embeddings = xn[:, -1, :].astype(jnp.float32)
+    if not logits_all:
+        xn = xn[:, -1:, :]
+    logits = _linear(xn, params.output, out_dtype=jnp.float32) if isinstance(
+        params.output, QWeight
+    ) else jnp.dot(
+        xn.astype(jnp.float32),
+        params.output.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v), embeddings

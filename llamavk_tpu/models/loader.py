@@ -1,0 +1,218 @@
+"""Checkpoint → device-params loader.
+
+The TPU analog of the reference's llama_model_load_internal + the Vulkan
+engine's uploadModel (`llama.cpp:751-898`, `vulkan/llama-vk.cpp:1988-2062`):
+reads GGML/GGMF/GGJT tensors (mmap-backed), repacks quantized weights into
+the TPU device layout, stacks the per-layer pytrees for `lax.scan`, and
+device_puts everything (optionally with shardings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..formats.ggml_io import CheckpointReader, Hparams
+from ..formats.q4 import (
+    GGML_FTYPE_F16,
+    GGML_FTYPE_F32,
+    GGML_FTYPE_Q4_0,
+    GGML_FTYPE_Q4_1,
+    QK,
+    quantize_q4_0,
+)
+from ..formats.repack import LAYOUT_ILV, repack_q4_0, repack_q4_1
+from ..ops.qweight import QWeight, qweight_from_packed
+from ..tokenizer import Tokenizer
+from .llama import LayerParams, LlamaParams, ModelConfig, QEmbedding
+
+
+def _put(arr, sharding=None, dtype=None):
+    if dtype is not None:
+        arr = np.asarray(arr, dtype)
+    return jax.device_put(arr, sharding) if sharding is not None else jnp.asarray(arr)
+
+
+def _load_weight(
+    reader: CheckpointReader,
+    name: str,
+    layout: str,
+    scale_dtype,
+    dense_dtype,
+    sharding=None,
+):
+    """Load a 2-D matmul weight as QWeight (q4) or dense [K, N] array."""
+    t = reader.tensors[name]
+    if t.ftype == GGML_FTYPE_Q4_0:
+        d, q = reader.load_q4(name)
+        pk = repack_q4_0(d, q, layout=layout)
+    elif t.ftype == GGML_FTYPE_Q4_1:
+        d, m, q = reader.load_q4(name)
+        pk = repack_q4_1(d, m, q, layout=layout)
+    else:
+        w = reader.load_f32(name).T  # [K, N]
+        return _put(np.ascontiguousarray(w), sharding, dense_dtype)
+    qw = qweight_from_packed(pk, scale_dtype=jnp.float32, device_put=False)
+    return QWeight(
+        packed=_put(qw.packed, None if sharding is None else sharding),
+        scales=_put(qw.scales, None if sharding is None else sharding, scale_dtype),
+        bias=None
+        if qw.bias is None
+        else _put(qw.bias, None if sharding is None else sharding, scale_dtype),
+        k=qw.k,
+        n=qw.n,
+        layout=qw.layout,
+    )
+
+
+def _pack_embedding_rows(qs_signed: np.ndarray) -> np.ndarray:
+    """[V, K] signed nibbles → [V, K//2] split-half packed bytes (linear)."""
+    k = qs_signed.shape[1]
+    lo = qs_signed[:, : k // 2]
+    hi = qs_signed[:, k // 2 :]
+    return ((lo & 0xF) | (hi << 4)).astype(np.int8)
+
+
+def _load_embedding(reader: CheckpointReader, name: str, scale_dtype, dense_dtype):
+    t = reader.tensors[name]
+    if t.ftype in (GGML_FTYPE_F16, GGML_FTYPE_F32):
+        return _put(reader.load_f32(name), dtype=dense_dtype)
+    if t.ftype == GGML_FTYPE_Q4_0:
+        d, q = reader.load_q4(name)  # [V, G], [V, G, QK]
+        bias = None
+    else:
+        d, m, q = reader.load_q4(name)
+        bias = m + 8.0 * d
+    v, g, _ = q.shape
+    qs = (q.astype(np.int16) - 8).astype(np.int8).reshape(v, g * QK)
+    return QEmbedding(
+        packed=_put(_pack_embedding_rows(qs)),
+        scales=_put(d, dtype=scale_dtype),
+        bias=None if bias is None else _put(bias, dtype=scale_dtype),
+        k=g * QK,
+    )
+
+
+def params_from_reader(
+    reader: CheckpointReader,
+    layout: str = LAYOUT_ILV,
+    scale_dtype=jnp.bfloat16,
+    dense_dtype=jnp.bfloat16,
+    shardings=None,
+) -> tuple[ModelConfig, LlamaParams]:
+    """Build the device param pytree. `shardings`: optional dict mapping
+    tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding."""
+    cfg = ModelConfig.from_hparams(reader.hparams)
+    sh = shardings or {}
+
+    def lw(name: str, kind: str):
+        return _load_weight(
+            reader, name, layout, scale_dtype, dense_dtype, sh.get(kind)
+        )
+
+    layers = []
+    for i in range(cfg.n_layer):
+        p = f"layers.{i}."
+        layers.append(
+            LayerParams(
+                attn_norm=_put(reader.load_f32(p + "attention_norm.weight"), sh.get("norm")),
+                wq=lw(p + "attention.wq.weight", "wq"),
+                wk=lw(p + "attention.wk.weight", "wk"),
+                wv=lw(p + "attention.wv.weight", "wv"),
+                wo=lw(p + "attention.wo.weight", "wo"),
+                ffn_norm=_put(reader.load_f32(p + "ffn_norm.weight"), sh.get("norm")),
+                w1=lw(p + "feed_forward.w1.weight", "w1"),
+                w2=lw(p + "feed_forward.w2.weight", "w2"),
+                w3=lw(p + "feed_forward.w3.weight", "w3"),
+            )
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    params = LlamaParams(
+        tok_embeddings=_load_embedding(
+            reader, "tok_embeddings.weight", scale_dtype, dense_dtype
+        ),
+        layers=stacked,
+        norm=_put(reader.load_f32("norm.weight"), sh.get("norm")),
+        output=lw("output.weight", "output"),
+    )
+    return cfg, params
+
+
+def load_model(path: str, **kw) -> tuple[ModelConfig, LlamaParams, Tokenizer]:
+    reader = CheckpointReader(path)
+    cfg, params = params_from_reader(reader, **kw)
+    return cfg, params, Tokenizer(reader.vocab)
+
+
+# ---------------------------------------------------------------------------
+# tiny random model for tests / benchmarks without real weights
+
+
+def random_tiny_model(
+    n_vocab=256,
+    n_embd=128,
+    n_layer=2,
+    n_head=2,
+    n_ff=256,
+    n_mult=32,
+    seed=0,
+    write_path: str | None = None,
+    quantize: bool = True,
+):
+    """Create a tiny random LLaMA checkpoint (numpy tensors + hparams).
+
+    If write_path is given, writes a real GGJT file; returns (hparams, tensors)
+    where tensors maps name → f32 numpy array (pre-quantization values)."""
+    from ..formats.ggml_io import CheckpointWriter, TokenEntry
+    from ..formats.q4 import q4_0_to_bytes
+
+    rng = np.random.default_rng(seed)
+    hp = Hparams(
+        n_vocab=n_vocab,
+        n_embd=n_embd,
+        n_mult=n_mult,
+        n_head=n_head,
+        n_layer=n_layer,
+        n_rot=n_embd // n_head,
+        ftype=GGML_FTYPE_Q4_0 if quantize else GGML_FTYPE_F32,
+    )
+
+    def w(*shape, scale=0.1):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors: dict[str, np.ndarray] = {
+        "tok_embeddings.weight": w(n_vocab, n_embd),
+        "norm.weight": np.abs(w(n_embd)) + 0.5,
+        "output.weight": w(n_vocab, n_embd),
+    }
+    for i in range(n_layer):
+        p = f"layers.{i}."
+        tensors[p + "attention_norm.weight"] = np.abs(w(n_embd)) + 0.5
+        tensors[p + "ffn_norm.weight"] = np.abs(w(n_embd)) + 0.5
+        for nm, shape in [
+            ("attention.wq.weight", (n_embd, n_embd)),
+            ("attention.wk.weight", (n_embd, n_embd)),
+            ("attention.wv.weight", (n_embd, n_embd)),
+            ("attention.wo.weight", (n_embd, n_embd)),
+            ("feed_forward.w1.weight", (n_ff, n_embd)),
+            ("feed_forward.w2.weight", (n_embd, n_ff)),
+            ("feed_forward.w3.weight", (n_ff, n_embd)),
+        ]:
+            tensors[p + nm] = w(*shape)
+
+    if write_path is not None:
+        vocab = [TokenEntry(f"<t{i}>".encode(), -float(i)) for i in range(n_vocab)]
+        with CheckpointWriter(write_path, hp, vocab) as wtr:
+            for name, arr in tensors.items():
+                if quantize and arr.ndim == 2 and name.endswith("weight") and "norm" not in name:
+                    d, q = quantize_q4_0(arr)
+                    wtr.write_tensor(
+                        name,
+                        tuple(reversed(arr.shape)),
+                        GGML_FTYPE_Q4_0,
+                        q4_0_to_bytes(d, q),
+                    )
+                else:
+                    wtr.write_array(name, arr, GGML_FTYPE_F32)
+    return hp, tensors

@@ -1,0 +1,161 @@
+"""Fused 4-bit dequantize + matmul — the TPU replacement for the reference's
+`ggml_vec_dot_q4_0` CPU hot loop (`ggml.c:1817`) and the Vulkan fused
+dequant-matvec shaders (`vulkan/llama-vk.hlsl:701-824` thinMatMul, K4/K5).
+
+Weights stay nibble-packed in HBM; each grid step streams a [K/2, BN] packed
+tile into VMEM, unpacks with two arithmetic shifts, applies per-block scales
+(a cheap tile-broadcast thanks to the interleaved storage layout — see
+formats/repack.py), and feeds the MXU in bf16. The Q4_1 affine term is folded
+in as one extra small matmul against per-group activation sums.
+
+computes  y[b, n] = sum_k x[b, k] * W[k, n]   with W given by a QWeight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.q4 import QK
+from ..formats.repack import LAYOUT_ILV, LAYOUT_LIN
+from .pallas_backend import interpret_mode
+from .qweight import QWeight, dequantize_qweight
+
+
+def to_ilv(x: jax.Array, k: int) -> jax.Array:
+    """Reorder the contraction axis into interleaved storage order.
+
+    x'[..., m*G + g] = x[..., g*QK + m] — a [G, QK] → [QK, G] transpose of the
+    minor axis, which XLA lowers natively (no gather)."""
+    g = k // QK
+    lead = x.shape[:-1]
+    return x.reshape(*lead, g, QK).swapaxes(-1, -2).reshape(*lead, k)
+
+
+def _group_sums(x: jax.Array, k: int) -> jax.Array:
+    """Per-quantization-block sums of x (original k order) → [..., G]."""
+    g = k // QK
+    return x.reshape(*x.shape[:-1], g, QK).sum(axis=-1)
+
+
+def q4_matmul_ref(x: jax.Array, qw: QWeight, out_dtype=jnp.float32) -> jax.Array:
+    """jnp reference implementation (dequantize then dense matmul)."""
+    w = dequantize_qweight(qw, dtype=jnp.float32)
+    return jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32).astype(
+        out_dtype
+    )
+
+
+def _kernel_q4_0(x_ref, p_ref, s_ref, o_ref, *, tiles: int, layout: str):
+    p = p_ref[:].astype(jnp.int32)
+    hi = (p >> 4).astype(jnp.float32)
+    lo = ((p << 28) >> 28).astype(jnp.float32)
+    s = s_ref[:].astype(jnp.float32)  # [G, BN]
+    half = p_ref.shape[0]
+    if layout == LAYOUT_ILV:
+        # storage row r (either half) uses scales[r % G]: a pure tile
+        srep = pltpu.repeat(s, tiles, axis=0)
+        s_lo = s_hi = srep
+    else:
+        g = s.shape[0]
+        s_lo = jnp.repeat(s[: g // 2], QK, axis=0, total_repeat_length=half)
+        s_hi = jnp.repeat(s[g // 2 :], QK, axis=0, total_repeat_length=half)
+    w_lo = (lo * s_lo).astype(jnp.bfloat16)
+    w_hi = (hi * s_hi).astype(jnp.bfloat16)
+    x = x_ref[:]
+    acc = jnp.dot(x[:, :half], w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x[:, half:], w_hi, preferred_element_type=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _kernel_q4_1(x_ref, p_ref, s_ref, xg_ref, b_ref, o_ref, *, tiles: int, layout: str):
+    _kernel_q4_0(x_ref, p_ref, s_ref, o_ref, tiles=tiles, layout=layout)
+    bias_term = jnp.dot(
+        xg_ref[:], b_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = (o_ref[:].astype(jnp.float32) + bias_term).astype(o_ref.dtype)
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_n", "block_b", "use_ref")
+)
+def q4_matmul(
+    x: jax.Array,
+    qw: QWeight,
+    out_dtype=jnp.bfloat16,
+    block_n: int = 512,
+    block_b: int = 256,
+    use_ref: bool = False,
+) -> jax.Array:
+    """y = x @ W for a packed QWeight. x: [..., K] (any leading dims)."""
+    if use_ref:
+        return q4_matmul_ref(x, qw, out_dtype=out_dtype)
+    k, n, g = qw.k, qw.n, qw.g
+    lead = x.shape[:-1]
+    b = 1
+    for d in lead:
+        b *= d
+    xf = x.reshape(b, k).astype(jnp.bfloat16)
+
+    xg = _group_sums(xf.astype(jnp.float32), k).astype(jnp.bfloat16) if qw.bias is not None else None
+    if qw.layout == LAYOUT_ILV:
+        xf = to_ilv(xf, k)
+
+    # pad batch to a sublane multiple; pad N to a lane multiple
+    bp = _round_up(max(b, 8), 8)
+    bn = min(block_n, _round_up(n, 128))
+    npad = _round_up(n, bn)
+    bb = min(block_b, bp)
+    bp = _round_up(bp, bb)
+    if bp != b:
+        xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
+        if xg is not None:
+            xg = jnp.pad(xg, ((0, bp - b), (0, 0)))
+    packed, scales, bias = qw.packed, qw.scales, qw.bias
+    if npad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, npad - n)))
+        scales = jnp.pad(scales, ((0, 0), (0, npad - n)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, npad - n)))
+
+    half = k // 2
+    tiles = half // g  # = QK // 2
+    grid = (bp // bb, npad // bn)
+    x_spec = pl.BlockSpec((bb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((half, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((bb, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+
+    cost = pl.CostEstimate(
+        flops=2 * bp * k * npad,
+        bytes_accessed=half * npad + 2 * g * npad + 2 * bp * k + 2 * bp * npad,
+        transcendentals=0,
+    )
+    if qw.bias is None:
+        kern = functools.partial(_kernel_q4_0, tiles=tiles, layout=qw.layout)
+        args = (xf, packed, scales)
+        in_specs = [x_spec, p_spec, s_spec]
+    else:
+        kern = functools.partial(_kernel_q4_1, tiles=tiles, layout=qw.layout)
+        xg_spec = pl.BlockSpec((bb, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        args = (xf, packed, scales, xg, bias)
+        in_specs = [x_spec, p_spec, s_spec, xg_spec, s_spec]
+
+    y = pl.pallas_call(
+        kern,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((bp, npad), out_dtype),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        cost_estimate=cost,
+        interpret=interpret_mode(),
+    )(*args)
+    return y[:b, :n].reshape(*lead, n)

@@ -1,0 +1,111 @@
+"""Kernel parity tests: Pallas (interpreter on CPU) vs jnp reference vs NumPy
+codec — the reference-vs-optimized idiom of quantize-stats."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llamavk_tpu.formats import quantize_q4_0, quantize_q4_1, repack_q4_0, repack_q4_1
+from llamavk_tpu.formats.repack import LAYOUT_ILV, LAYOUT_LIN
+from llamavk_tpu.ops import (
+    q4_matmul,
+    q4_matmul_ref,
+    rms_norm,
+    apply_rope,
+    rope_cos_sin,
+    to_ilv,
+    qweight_from_packed,
+    dequantize_qweight,
+)
+
+
+def _make_qw(k, n, layout, q41=False, seed=0):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)  # checkpoint order [N, K]
+    if q41:
+        d, m, q = quantize_q4_1(w)
+        pk = repack_q4_1(d, m, q, layout=layout)
+        wd = (q.astype(np.float32) * d[..., None] + m[..., None]).reshape(n, k).T
+    else:
+        d, q = quantize_q4_0(w)
+        pk = repack_q4_0(d, q, layout=layout)
+        wd = ((q.astype(np.float32) - 8) * d[..., None]).reshape(n, k).T
+    return qweight_from_packed(pk, scale_dtype=jnp.float32), wd  # device qw, dense [K, N]
+
+
+@pytest.mark.parametrize("layout", [LAYOUT_ILV, LAYOUT_LIN])
+@pytest.mark.parametrize("q41", [False, True])
+def test_dequantize_qweight_exact(layout, q41):
+    qw, wd = _make_qw(128, 256, layout, q41)
+    got = np.asarray(dequantize_qweight(qw))
+    np.testing.assert_allclose(got, wd, atol=1e-6)
+
+
+def test_to_ilv():
+    k = 128
+    g = k // 32
+    x = jnp.arange(k, dtype=jnp.float32)[None]
+    y = np.asarray(to_ilv(x, k))[0]
+    # x'[m*G + g] == x[g*32 + m]
+    for kp in [0, 1, g, 2 * g + 3, k - 1]:
+        m, gg = kp // g, kp % g
+        assert y[kp] == gg * 32 + m
+
+
+@pytest.mark.parametrize("layout", [LAYOUT_ILV, LAYOUT_LIN])
+@pytest.mark.parametrize("q41", [False, True])
+@pytest.mark.parametrize("b,k,n", [(1, 128, 256), (7, 256, 384), (16, 192, 128)])
+def test_q4_matmul_vs_ref(layout, q41, b, k, n):
+    qw, wd = _make_qw(k, n, layout, q41)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
+    y_pallas = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32))
+    y_ref = np.asarray(q4_matmul_ref(x, qw))
+    y_np = np.asarray(x, np.float32) @ wd
+    # pallas (bf16 weights in MXU) vs f32 reference: bf16-level tolerance
+    np.testing.assert_allclose(y_pallas, y_np, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(y_ref, y_np, rtol=1e-5, atol=1e-5)
+
+
+def test_q4_matmul_leading_dims():
+    qw, wd = _make_qw(128, 128, LAYOUT_ILV)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 3, 128)), jnp.bfloat16)
+    y = q4_matmul(x, qw)
+    assert y.shape == (2, 3, 128)
+    y_np = np.asarray(x, np.float32).reshape(6, 128) @ wd
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32).reshape(6, 128), y_np, rtol=3e-2, atol=3e-2
+    )
+
+
+def test_rms_norm():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    w = rng.standard_normal(64).astype(np.float32)
+    got = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(w)))
+    want = x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * w
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_rope_matches_scalar_formula():
+    # ggml.c:7209-7224: adjacent pairs, theta = 10000^(-i0/n_dims), p absolute
+    b, t, h, d = 1, 3, 2, 8
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((b, t, h, d)).astype(np.float32)
+    n_past = 5
+    pos = n_past + jnp.arange(t)
+    cos, sin = rope_cos_sin(pos, d)
+    got = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+    want = np.empty_like(x)
+    for tt in range(t):
+        p = n_past + tt
+        for hh in range(h):
+            for i0 in range(0, d, 2):
+                theta = 10000.0 ** (-i0 / d)
+                c, s = np.cos(p * theta), np.sin(p * theta)
+                x0, x1 = x[0, tt, hh, i0], x[0, tt, hh, i0 + 1]
+                want[0, tt, hh, i0] = x0 * c - x1 * s
+                want[0, tt, hh, i0 + 1] = x0 * s + x1 * c
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
