@@ -1,0 +1,218 @@
+"""Decode engine: jitted prefill + single-token decode step with donated
+KV-cache carry and on-device sampling.
+
+This is the TPU re-design of the reference Vulkan decode scheduler
+(`vulkan/llama-vk.cpp:2099-2386` submitPass/process): where the reference
+records one command buffer per token with barriers between dispatches, here
+one jit-compiled XLA program executes the full layer stack plus sampling, the
+KV cache and sampling key are a donated carry (buffers update in place), and
+exactly one int32 crosses device→host per generated token. The API surface
+mirrors llama.h: eval/tokenize/sample/get-set-kv-cache/timings
+(`llama.h:36-168`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from .sampling import SamplerParams, sample_token
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    n_ctx: int = 512
+    kv_dtype: str = "bfloat16"  # the reference's f16_kv option (llama.h:56)
+    batch: int = 1
+    seed: int = 0
+
+
+@dataclass
+class SessionState:
+    """Host-side snapshot of inference state — parity with
+    llama_get_kv_cache/llama_set_kv_cache (llama.h:91-106)."""
+
+    k: np.ndarray
+    v: np.ndarray
+    n_past: int
+    tokens: list[int]
+
+
+@dataclass
+class Timings:
+    """llama_print_timings parity (llama.cpp:1807-1827)."""
+
+    t_load_us: float = 0.0
+    t_prompt_us: float = 0.0
+    n_prompt: int = 0
+    t_eval_us: float = 0.0
+    n_eval: int = 0
+
+    def report(self) -> str:
+        lines = [f"load time   = {self.t_load_us / 1e3:9.2f} ms"]
+        if self.n_prompt:
+            lines.append(
+                f"prompt eval = {self.t_prompt_us / 1e3:9.2f} ms / {self.n_prompt} tokens"
+                f" ({self.t_prompt_us / 1e3 / max(self.n_prompt, 1):.2f} ms/tok)"
+            )
+        if self.n_eval:
+            lines.append(
+                f"eval        = {self.t_eval_us / 1e3:9.2f} ms / {self.n_eval} tokens"
+                f" ({self.t_eval_us / 1e3 / max(self.n_eval, 1):.2f} ms/tok,"
+                f" {self.n_eval / (self.t_eval_us / 1e6):.2f} tok/s)"
+            )
+        return "\n".join(lines)
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: LlamaParams,
+        ecfg: EngineConfig = EngineConfig(),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.ecfg = ecfg
+        self.kv_dtype = jnp.dtype(ecfg.kv_dtype)
+        self.timings = Timings()
+        self.reset()
+
+        cfg_ = cfg
+
+        @partial(jax.jit, static_argnames=("logits_all",))
+        def _prefill(params, tokens, cache, n_past, logits_all=False):
+            return llama_forward(
+                params, tokens, cache, n_past, cfg_, logits_all=logits_all
+            )
+
+        @partial(jax.jit, donate_argnums=(2, 3, 4), static_argnames=("sp",))
+        def _decode_step(params, token, cache, last_tokens, key, n_past, sp):
+            logits, cache, _ = llama_forward(
+                params, token.reshape(1, 1), cache, n_past, cfg_
+            )
+            key, sub = jax.random.split(key)
+            tok = sample_token(logits[0, -1], last_tokens, sub, sp)
+            last_tokens = jnp.roll(last_tokens, -1).at[-1].set(tok)
+            return tok, cache, last_tokens, key
+
+        self._prefill = _prefill
+        self._decode_step = _decode_step
+
+    # --- state ---------------------------------------------------------
+
+    def reset(self) -> None:
+        self.cache = init_kv_cache(
+            self.cfg, self.ecfg.batch, self.ecfg.n_ctx, dtype=self.kv_dtype
+        )
+        self.n_past = 0
+        self.tokens: list[int] = []
+        self.key = jax.random.key(self.ecfg.seed)
+
+    def set_seed(self, seed: int) -> None:
+        self.key = jax.random.key(seed)
+
+    # --- eval (llama_eval parity) ---------------------------------------
+
+    def eval(self, tokens: list[int] | np.ndarray, logits_all: bool = False):
+        """Evaluate tokens at the current position; returns logits [T or 1, V]."""
+        t0 = time.perf_counter()
+        toks = jnp.asarray(np.asarray(tokens, np.int32))[None]
+        logits, self.cache, self._last_emb = self._prefill(
+            self.params, toks, self.cache, jnp.int32(self.n_past), logits_all=logits_all
+        )
+        logits = np.asarray(logits)[0]
+        self.n_past += len(tokens)
+        self.tokens.extend(int(t) for t in np.asarray(tokens))
+        self.timings.t_prompt_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_prompt += len(tokens)
+        return logits
+
+    def get_embeddings(self) -> np.ndarray:
+        """Final-norm activations of the last evaluated token
+        (llama_get_embeddings parity, llama.h:115-118)."""
+        return np.asarray(self._last_emb)[0]
+
+    # --- generation ------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_tokens: list[int],
+        n_predict: int,
+        sp: SamplerParams = SamplerParams(),
+        on_token: Callable[[int], bool] | None = None,
+        eos_id: int = 2,
+        ignore_eos: bool = False,
+    ) -> list[int]:
+        """Prefill the prompt then decode up to n_predict tokens on device.
+
+        on_token returns False to stop early (antiprompt hooks etc.)."""
+        assert self.n_past + len(prompt_tokens) + n_predict <= self.ecfg.n_ctx, (
+            "context overflow; use ContextManager for infinite generation"
+        )
+        # seed the repeat-penalty window with prompt tokens
+        w = sp.repeat_last_n
+        last = np.full(w, -1, np.int32)
+        hist = (self.tokens + list(prompt_tokens))[-w:]
+        if hist:
+            last[-len(hist):] = hist
+        last_tokens = jnp.asarray(last)
+
+        logits = self.eval(prompt_tokens)
+        # sample the first token from prefill logits
+        self.key, sub = jax.random.split(self.key)
+        tok = int(
+            sample_token(jnp.asarray(logits[-1]), last_tokens, sub, sp)
+        )
+        out = []
+        cache, key = self.cache, self.key
+        last_tokens = jnp.roll(last_tokens, -1).at[-1].set(tok)
+        t0 = time.perf_counter()
+        n_eval = 0
+        for _ in range(n_predict):
+            out.append(tok)
+            self.tokens.append(tok)
+            if on_token is not None and not on_token(tok):
+                break
+            if not ignore_eos and tok == eos_id:
+                break
+            if len(out) == n_predict:
+                break
+            tok_dev, cache, last_tokens, key = self._decode_step(
+                self.params,
+                jnp.int32(tok),
+                cache,
+                last_tokens,
+                key,
+                jnp.int32(self.n_past),
+                sp,
+            )
+            self.n_past += 1
+            n_eval += 1
+            tok = int(tok_dev)  # the single 4-byte device→host transfer
+        self.cache, self.key = cache, key
+        self.timings.t_eval_us += (time.perf_counter() - t0) * 1e6
+        self.timings.n_eval += n_eval
+        return out
+
+    # --- session save/restore (llama_get/set_kv_cache parity) ------------
+
+    def save_session(self) -> SessionState:
+        return SessionState(
+            k=np.asarray(self.cache.k),
+            v=np.asarray(self.cache.v),
+            n_past=self.n_past,
+            tokens=list(self.tokens),
+        )
+
+    def restore_session(self, s: SessionState) -> None:
+        self.cache = KVCache(k=jnp.asarray(s.k), v=jnp.asarray(s.v))
+        self.n_past = s.n_past
+        self.tokens = list(s.tokens)
