@@ -71,6 +71,7 @@ class PackedQ4:
     k: int
     n: int
     layout: str = LAYOUT_ILV
+    chunks: int = 1  # number of independently-packed contiguous K slices
 
     @property
     def g(self) -> int:
@@ -98,46 +99,65 @@ def pack_q4(
     scales: np.ndarray,
     bias: np.ndarray | None = None,
     layout: str = LAYOUT_ILV,
+    chunks: int = 1,
 ) -> PackedQ4:
-    """Pack signed nibbles [K, N] (blocks of 32 along K) + scales [G, N]."""
+    """Pack signed nibbles [K, N] (blocks of 32 along K) + scales [G, N].
+
+    `chunks` > 1 packs each of the `chunks` contiguous K-slices independently
+    (its own interleave + split-half), so the packed rows/scales shard cleanly
+    along dim 0 into `chunks` tensor-parallel pieces — the packing analog of
+    the checkpoint's row-split table (llama_internal.h:37-41). The scales
+    array keeps the original global group order either way.
+    """
     k, n = qs_signed.shape
-    assert k % (2 * QK) == 0, (k, n)
     g = k // QK
     assert scales.shape == (g, n), (scales.shape, g, n)
-    if layout == LAYOUT_ILV:
-        qs_signed = qs_signed[ilv_perm(k)]
-    packed = _split_half_pack(qs_signed.astype(np.int8))
+    kc = k // chunks
+    assert kc % (2 * QK) == 0, (k, chunks)
+    parts = []
+    for c in range(chunks):
+        qc = qs_signed[c * kc : (c + 1) * kc]
+        if layout == LAYOUT_ILV:
+            qc = qc[ilv_perm(kc)]
+        parts.append(_split_half_pack(qc.astype(np.int8)))
     return PackedQ4(
-        packed=packed,
+        packed=np.concatenate(parts, axis=0),
         scales=np.asarray(scales, np.float32),
         bias=None if bias is None else np.asarray(bias, np.float32),
         k=k,
         n=n,
         layout=layout,
+        chunks=chunks,
     )
 
 
 def unpack_q4(p: PackedQ4) -> np.ndarray:
     """Dequantize a PackedQ4 back to f32 [K, N] in original k order (test aid)."""
-    qs = _split_half_unpack(p.packed).astype(np.float32)  # [K, N] storage order
-    if p.layout == LAYOUT_ILV:
-        rows = np.arange(p.k)
-        scale_rows = rows % p.g
-    else:
-        rows = np.arange(p.k)
-        scale_rows = rows // QK
-    w = qs * p.scales[scale_rows]
-    if p.bias is not None:
-        w = w + p.bias[scale_rows]
-    if p.layout == LAYOUT_ILV:
-        out = np.empty_like(w)
-        out[ilv_perm(p.k)] = w
-        return out
-    return w
+    kc = p.k // p.chunks
+    gc = kc // QK
+    outs = []
+    for c in range(p.chunks):
+        qs = _split_half_unpack(p.packed[c * kc // 2 : (c + 1) * kc // 2]).astype(
+            np.float32
+        )  # [Kc, N] storage order within the chunk
+        rows = np.arange(kc)
+        if p.layout == LAYOUT_ILV:
+            scale_rows = c * gc + rows % gc
+        else:
+            scale_rows = c * gc + rows // QK
+        w = qs * p.scales[scale_rows]
+        if p.bias is not None:
+            w = w + p.bias[scale_rows]
+        if p.layout == LAYOUT_ILV:
+            out = np.empty_like(w)
+            out[ilv_perm(kc)] = w
+            w = out
+        outs.append(w)
+    return np.concatenate(outs, axis=0)
 
 
 def repack_q4_0(
-    d: np.ndarray, q: np.ndarray, layout: str = LAYOUT_ILV
+    d: np.ndarray, q: np.ndarray, layout: str = LAYOUT_ILV, chunks: int = 1
 ) -> PackedQ4:
     """From checkpoint blocks (d [N, G], q [N, G, QK] raw nibbles) to device layout.
 
@@ -148,11 +168,11 @@ def repack_q4_0(
     assert qk == QK
     qs = (q.astype(np.int16) - 8).astype(np.int8).reshape(n, g * qk).T  # [K, N]
     scales = np.asarray(d, np.float32).T  # [G, N]
-    return pack_q4(qs, scales, None, layout)
+    return pack_q4(qs, scales, None, layout, chunks)
 
 
 def repack_q4_1(
-    d: np.ndarray, m: np.ndarray, q: np.ndarray, layout: str = LAYOUT_ILV
+    d: np.ndarray, m: np.ndarray, q: np.ndarray, layout: str = LAYOUT_ILV, chunks: int = 1
 ) -> PackedQ4:
     """Q4_1: value = q*d + m = (q-8)*d + (m + 8*d) → signed nibbles + bias plane."""
     n, g, qk = q.shape
@@ -160,7 +180,7 @@ def repack_q4_1(
     qs = (q.astype(np.int16) - 8).astype(np.int8).reshape(n, g * qk).T
     scales = np.asarray(d, np.float32).T
     bias = (np.asarray(m, np.float32) + 8.0 * np.asarray(d, np.float32)).T
-    return pack_q4(qs, scales, bias, layout)
+    return pack_q4(qs, scales, bias, layout, chunks)
 
 
 def repack_dense(w: np.ndarray) -> np.ndarray:

@@ -41,28 +41,29 @@ def _load_weight(
     scale_dtype,
     dense_dtype,
     sharding=None,
+    chunks: int = 1,
 ):
-    """Load a 2-D matmul weight as QWeight (q4) or dense [K, N] array."""
+    """Load a 2-D matmul weight as QWeight (q4) or dense [K, N] array.
+
+    chunks > 1 packs the K axis as `chunks` independent tensor-parallel row
+    shards (for wo/w2 under TP — the inverse of the checkpoint's
+    SPLIT_BY_COLUMNS merge, llama.cpp:276-287)."""
     t = reader.tensors[name]
     if t.ftype == GGML_FTYPE_Q4_0:
         d, q = reader.load_q4(name)
-        pk = repack_q4_0(d, q, layout=layout)
+        pk = repack_q4_0(d, q, layout=layout, chunks=chunks)
     elif t.ftype == GGML_FTYPE_Q4_1:
         d, m, q = reader.load_q4(name)
-        pk = repack_q4_1(d, m, q, layout=layout)
+        pk = repack_q4_1(d, m, q, layout=layout, chunks=chunks)
     else:
         w = reader.load_f32(name).T  # [K, N]
         return _put(np.ascontiguousarray(w), sharding, dense_dtype)
-    qw = qweight_from_packed(pk, scale_dtype=jnp.float32, device_put=False)
     return QWeight(
-        packed=_put(qw.packed, None if sharding is None else sharding),
-        scales=_put(qw.scales, None if sharding is None else sharding, scale_dtype),
-        bias=None
-        if qw.bias is None
-        else _put(qw.bias, None if sharding is None else sharding, scale_dtype),
-        k=qw.k,
-        n=qw.n,
-        layout=qw.layout,
+        packed=_put(pk.packed, sharding),
+        scales=_put(pk.scales, sharding, scale_dtype),
+        bias=None if pk.bias is None else _put(pk.bias, sharding, scale_dtype),
+        layout=pk.layout,
+        chunks=pk.chunks,
     )
 
 
@@ -94,21 +95,32 @@ def _load_embedding(reader: CheckpointReader, name: str, scale_dtype, dense_dtyp
     )
 
 
+ROW_PARALLEL_KINDS = ("wo", "w2")  # K (contraction) axis sharded under TP
+
+
 def params_from_reader(
     reader: CheckpointReader,
     layout: str = LAYOUT_ILV,
     scale_dtype=jnp.bfloat16,
     dense_dtype=jnp.bfloat16,
     shardings=None,
+    tp: int = 1,
 ) -> tuple[ModelConfig, LlamaParams]:
     """Build the device param pytree. `shardings`: optional dict mapping
-    tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding."""
+    tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding.
+    `tp` > 1 chunk-packs row-parallel weights for a tp-way mesh axis."""
     cfg = ModelConfig.from_hparams(reader.hparams)
     sh = shardings or {}
 
     def lw(name: str, kind: str):
         return _load_weight(
-            reader, name, layout, scale_dtype, dense_dtype, sh.get(kind)
+            reader,
+            name,
+            layout,
+            scale_dtype,
+            dense_dtype,
+            sh.get(kind),
+            chunks=tp if kind in ROW_PARALLEL_KINDS else 1,
         )
 
     layers = []

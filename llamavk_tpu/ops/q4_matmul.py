@@ -6,7 +6,9 @@ Weights stay nibble-packed in HBM; each grid step streams a [K/2, BN] packed
 tile into VMEM, unpacks with two arithmetic shifts, applies per-block scales
 (a cheap tile-broadcast thanks to the interleaved storage layout — see
 formats/repack.py), and feeds the MXU in bf16. The Q4_1 affine term is folded
-in as one extra small matmul against per-group activation sums.
+in as one extra small XLA matmul against per-group activation sums. Weights
+packed with `chunks` > 1 (tensor-parallel row shards) run one kernel per
+chunk with the partial products summed.
 
 computes  y[b, n] = sum_k x[b, k] * W[k, n]   with W given by a QWeight.
 """
@@ -21,19 +23,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.q4 import QK
-from ..formats.repack import LAYOUT_ILV, LAYOUT_LIN
+from ..formats.repack import LAYOUT_ILV
 from .pallas_backend import interpret_mode
 from .qweight import QWeight, dequantize_qweight
 
 
-def to_ilv(x: jax.Array, k: int) -> jax.Array:
-    """Reorder the contraction axis into interleaved storage order.
+def to_ilv(x: jax.Array, k: int, chunks: int = 1) -> jax.Array:
+    """Reorder the contraction axis into interleaved storage order (per chunk).
 
-    x'[..., m*G + g] = x[..., g*QK + m] — a [G, QK] → [QK, G] transpose of the
-    minor axis, which XLA lowers natively (no gather)."""
-    g = k // QK
+    x'[..., m*G + g] = x[..., g*QK + m] within each contiguous K/chunks slice —
+    a minor-axis [G, QK] → [QK, G] transpose, which XLA lowers natively."""
+    kc = k // chunks
+    g = kc // QK
     lead = x.shape[:-1]
-    return x.reshape(*lead, g, QK).swapaxes(-1, -2).reshape(*lead, k)
+    x = x.reshape(*lead, chunks, g, QK).swapaxes(-1, -2)
+    return x.reshape(*lead, k)
 
 
 def _group_sums(x: jax.Array, k: int) -> jax.Array:
@@ -50,20 +54,19 @@ def q4_matmul_ref(x: jax.Array, qw: QWeight, out_dtype=jnp.float32) -> jax.Array
     )
 
 
-def _kernel_q4_0(x_ref, p_ref, s_ref, o_ref, *, tiles: int, layout: str):
+def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str):
     p = p_ref[:].astype(jnp.int32)
     hi = (p >> 4).astype(jnp.float32)
     lo = ((p << 28) >> 28).astype(jnp.float32)
     s = s_ref[:].astype(jnp.float32)  # [G, BN]
     half = p_ref.shape[0]
+    g = s.shape[0]
     if layout == LAYOUT_ILV:
         # storage row r (either half) uses scales[r % G]: a pure tile
-        srep = pltpu.repeat(s, tiles, axis=0)
-        s_lo = s_hi = srep
+        s_lo = s_hi = pltpu.repeat(s, half // g, axis=0)
     else:
-        g = s.shape[0]
-        s_lo = jnp.repeat(s[: g // 2], QK, axis=0, total_repeat_length=half)
-        s_hi = jnp.repeat(s[g // 2 :], QK, axis=0, total_repeat_length=half)
+        s_lo = jnp.repeat(s[: g // 2], QK, axis=0)
+        s_hi = jnp.repeat(s[g // 2 :], QK, axis=0)
     w_lo = (lo * s_lo).astype(jnp.bfloat16)
     w_hi = (hi * s_hi).astype(jnp.bfloat16)
     x = x_ref[:]
@@ -72,16 +75,34 @@ def _kernel_q4_0(x_ref, p_ref, s_ref, o_ref, *, tiles: int, layout: str):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-def _kernel_q4_1(x_ref, p_ref, s_ref, xg_ref, b_ref, o_ref, *, tiles: int, layout: str):
-    _kernel_q4_0(x_ref, p_ref, s_ref, o_ref, tiles=tiles, layout=layout)
-    bias_term = jnp.dot(
-        xg_ref[:], b_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )
-    o_ref[:] = (o_ref[:].astype(jnp.float32) + bias_term).astype(o_ref.dtype)
-
-
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+def _chunk_matmul(xc, packed, scales, bn: int, bb: int, layout: str, out_dtype):
+    """One packed chunk: xc [BP, Kc] (storage order), packed [Kc/2, NP]."""
+    bp, kc = xc.shape
+    half, npad = packed.shape
+    g = scales.shape[0]
+    grid = (bp // bb, npad // bn)
+    cost = pl.CostEstimate(
+        flops=2 * bp * kc * npad,
+        bytes_accessed=half * npad + 2 * g * npad + 2 * bp * kc + 4 * bp * npad,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_q4, layout=layout),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((bp, npad), out_dtype),
+        in_specs=[
+            pl.BlockSpec((bb, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=cost,
+        interpret=interpret_mode(),
+    )(xc, packed, scales)
 
 
 @functools.partial(
@@ -99,15 +120,21 @@ def q4_matmul(
     if use_ref:
         return q4_matmul_ref(x, qw, out_dtype=out_dtype)
     k, n, g = qw.k, qw.n, qw.g
+    chunks = qw.chunks
+    kc = k // chunks
     lead = x.shape[:-1]
     b = 1
     for d in lead:
         b *= d
     xf = x.reshape(b, k).astype(jnp.bfloat16)
 
-    xg = _group_sums(xf.astype(jnp.float32), k).astype(jnp.bfloat16) if qw.bias is not None else None
+    xg = (
+        _group_sums(xf.astype(jnp.float32), k).astype(jnp.bfloat16)
+        if qw.bias is not None
+        else None
+    )
     if qw.layout == LAYOUT_ILV:
-        xf = to_ilv(xf, k)
+        xf = to_ilv(xf, k, chunks)
 
     # pad batch to a sublane multiple; pad N to a lane multiple
     bp = _round_up(max(b, 8), 8)
@@ -117,45 +144,28 @@ def q4_matmul(
     bp = _round_up(bp, bb)
     if bp != b:
         xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
-        if xg is not None:
-            xg = jnp.pad(xg, ((0, bp - b), (0, 0)))
-    packed, scales, bias = qw.packed, qw.scales, qw.bias
+    packed, scales = qw.packed, qw.scales
     if npad != n:
         packed = jnp.pad(packed, ((0, 0), (0, npad - n)))
         scales = jnp.pad(scales, ((0, 0), (0, npad - n)))
-        if bias is not None:
-            bias = jnp.pad(bias, ((0, 0), (0, npad - n)))
 
-    half = k // 2
-    tiles = half // g  # = QK // 2
-    grid = (bp // bb, npad // bn)
-    x_spec = pl.BlockSpec((bb, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    p_spec = pl.BlockSpec((half, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((bb, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-
-    cost = pl.CostEstimate(
-        flops=2 * bp * k * npad,
-        bytes_accessed=half * npad + 2 * g * npad + 2 * bp * k + 2 * bp * npad,
-        transcendentals=0,
-    )
-    if qw.bias is None:
-        kern = functools.partial(_kernel_q4_0, tiles=tiles, layout=qw.layout)
-        args = (xf, packed, scales)
-        in_specs = [x_spec, p_spec, s_spec]
-    else:
-        kern = functools.partial(_kernel_q4_1, tiles=tiles, layout=qw.layout)
-        xg_spec = pl.BlockSpec((bb, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-        args = (xf, packed, scales, xg, bias)
-        in_specs = [x_spec, p_spec, s_spec, xg_spec, s_spec]
-
-    y = pl.pallas_call(
-        kern,
-        grid=grid,
-        out_shape=jax.ShapeDtypeStruct((bp, npad), out_dtype),
-        in_specs=in_specs,
-        out_specs=o_spec,
-        cost_estimate=cost,
-        interpret=interpret_mode(),
-    )(*args)
-    return y[:b, :n].reshape(*lead, n)
+    gc = g // chunks
+    y = None
+    for c in range(chunks):
+        yc = _chunk_matmul(
+            xf[:, c * kc : (c + 1) * kc],
+            packed[c * kc // 2 : (c + 1) * kc // 2],
+            scales[c * gc : (c + 1) * gc],
+            bn,
+            bb,
+            qw.layout,
+            jnp.float32,
+        )
+        y = yc if y is None else y + yc
+    y = y[:b, :n]
+    if qw.bias is not None:
+        # Q4_1 affine term: sum_k x_k * bias[group(k), n]
+        y = y + jnp.dot(
+            xg[:b], qw.bias.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    return y.astype(out_dtype).reshape(*lead, n)

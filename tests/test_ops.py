@@ -109,3 +109,21 @@ def test_rope_matches_scalar_formula():
                 want[0, tt, hh, i0] = x0 * c - x1 * s
                 want[0, tt, hh, i0 + 1] = x0 * s + x1 * c
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 4])
+def test_q4_matmul_chunked(chunks):
+    """chunks>1 = per-TP-shard packing; results must match unchunked."""
+    from llamavk_tpu.formats import quantize_q4_0, repack_q4_0
+    k, n = 256, 128
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    d, q = quantize_q4_0(w)
+    qw = qweight_from_packed(repack_q4_0(d, q, chunks=chunks), scale_dtype=jnp.float32)
+    assert qw.chunks == chunks
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    wd = ((q.astype(np.float32) - 8) * d[..., None]).reshape(n, k).T
+    y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd, rtol=2e-2, atol=2e-2)
+    # dequant path must be exact
+    np.testing.assert_allclose(np.asarray(dequantize_qweight(qw)), wd, atol=1e-6)
