@@ -20,7 +20,7 @@ jnp arrays (f16/f32 checkpoints) — `_linear` dispatches.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from functools import partial
 
 import jax
@@ -188,6 +188,8 @@ def llama_forward(
     cfg: ModelConfig,
     logits_all: bool = False,
     dtype=jnp.bfloat16,
+    tp_axis: str | None = None,
+    tp_size: int = 1,
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -195,9 +197,21 @@ def llama_forward(
     position only — the reference's default, llama.cpp:1152-1163).
     embeddings: [B, n_embd] f32 — final-norm activations of the last token
     (llama_get_embeddings parity, llama.cpp:1166-1171).
+
+    tp_axis: when called inside shard_map over a mesh with that axis, weights
+    arrive as tensor-parallel shards (see parallel/sharding.py) and the
+    partial products of the row-parallel matmuls (wo, w2) are psum-reduced;
+    vocab-sharded logits are all-gathered.
     """
     b, t = tokens.shape
     h, d = cfg.n_head, cfg.head_dim
+
+    def _row_linear(xx, w):
+        # row-parallel weights were chunk-packed tp_size-ways globally; the
+        # shard_map-local view is chunks/tp_size independent packings
+        if isinstance(w, QWeight) and tp_size > 1:
+            w = replace(w, chunks=max(1, w.chunks // tp_size))
+        return _linear(xx, w)
     x = embed_tokens(params.tok_embeddings, tokens, dtype=dtype)  # [B, T, K]
 
     positions = n_past + jnp.arange(t)
@@ -207,9 +221,9 @@ def llama_forward(
         lp, k_l, v_l = layer_inputs
         # --- attention block (llama.cpp:976-1070)
         xa = rms_norm(x, lp.attn_norm, cfg.norm_eps)
-        q = _linear(xa, lp.wq).reshape(b, t, h, d)
-        k = _linear(xa, lp.wk).reshape(b, t, h, d)
-        v = _linear(xa, lp.wv).reshape(b, t, h, d)
+        q = _linear(xa, lp.wq).reshape(b, t, -1, d)  # local heads under TP
+        k = _linear(xa, lp.wk).reshape(b, t, -1, d)
+        v = _linear(xa, lp.wv).reshape(b, t, -1, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
         k_l = jax.lax.dynamic_update_slice(
@@ -218,9 +232,12 @@ def llama_forward(
         v_l = jax.lax.dynamic_update_slice(
             v_l, v.astype(v_l.dtype), (0, n_past, 0, 0)
         )
-        attn = _attention(q, k_l, v_l, n_past)  # [B, T, H, D] f32
-        attn = attn.reshape(b, t, h * d).astype(dtype)
-        x = x + _linear(attn, lp.wo)
+        attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
+        attn = attn.reshape(b, t, -1).astype(dtype)
+        wo_out = _row_linear(attn, lp.wo)
+        if tp_axis is not None:
+            wo_out = jax.lax.psum(wo_out, tp_axis)
+        x = x + wo_out
         # --- FFN block (llama.cpp:1073-1101)
         xf = rms_norm(x, lp.ffn_norm, cfg.norm_eps)
         gate = _linear(xf, lp.w1)
@@ -228,7 +245,10 @@ def llama_forward(
         act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
             dtype
         )
-        x = x + _linear(act, lp.w2)
+        w2_out = _row_linear(act, lp.w2)
+        if tp_axis is not None:
+            w2_out = jax.lax.psum(w2_out, tp_axis)
+        x = x + w2_out
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(
@@ -246,4 +266,7 @@ def llama_forward(
         params.output.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
+    if tp_axis is not None:
+        # vocab-sharded logits → full logits on every device
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v), embeddings
