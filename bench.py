@@ -1,0 +1,94 @@
+"""Headline benchmark: LLaMA-7B Q4_0 single-stream greedy decode, tok/s/chip.
+
+Baseline (BASELINE.md): the reference's published 7B Q4_0 decode latency of
+61.41 ms/token (~16.29 tok/s) on an Apple M1 Pro CPU — the only end-to-end
+decode number the reference publishes. vs_baseline = our tok/s / 16.29.
+
+Runs the real compute path: Q4_0 weights nibble-packed in HBM, Pallas fused
+dequant-matmul, bf16 KV cache (n_ctx 512), on-device greedy sampling, one
+int32 device→host transfer per token. Weights are synthetic (random nibbles;
+identical compute/bandwidth profile to real weights).
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from llamavk_tpu.models import (
+    LLAMA_CONFIGS,
+    ModelConfig,
+    init_kv_cache,
+    llama_forward,
+    synthetic_params,
+)
+
+BASELINE_TOK_S = 1000.0 / 61.41  # README.md:137-141 of the reference
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    model = "7B"
+    n_ctx = 512
+    warmup, measure = 8, 64
+
+    cfg = ModelConfig(**LLAMA_CONFIGS[model])
+    log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
+    t0 = time.perf_counter()
+    params = synthetic_params(cfg, seed=0)
+    jax.block_until_ready(params)
+    log(f"params ready in {time.perf_counter() - t0:.1f}s")
+
+    cache = init_kv_cache(cfg, 1, n_ctx)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def step(params, token, cache, n_past):
+        logits, cache, _ = llama_forward(params, token.reshape(1, 1), cache, n_past, cfg)
+        return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+
+    # prefill a short prompt region by stepping (keeps one compiled program)
+    log("compiling decode step ...")
+    t0 = time.perf_counter()
+    tok = jnp.int32(1)
+    tok, cache = step(params, tok, cache, jnp.int32(0))
+    tok.block_until_ready()
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    n_past = 1
+    for i in range(warmup):
+        tok, cache = step(params, tok, cache, jnp.int32(n_past))
+        n_past += 1
+    int(tok)
+
+    t0 = time.perf_counter()
+    for i in range(measure):
+        tok, cache = step(params, tok, cache, jnp.int32(n_past))
+        n_past += 1
+        int(tok)  # per-token host sync, like real single-stream serving
+    dt = time.perf_counter() - t0
+    ms_tok = dt / measure * 1e3
+    tok_s = measure / dt
+    log(f"decode: {ms_tok:.2f} ms/token = {tok_s:.2f} tok/s (measured {measure} tokens)")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"LLaMA-{model} Q4_0 single-stream decode throughput",
+                "value": round(tok_s, 2),
+                "unit": "tok/s/chip",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

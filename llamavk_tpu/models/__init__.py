@@ -8,4 +8,10 @@ from .llama import (
     init_kv_cache,
     KVCache,
 )
-from .loader import load_model, params_from_reader, random_tiny_model
+from .loader import (
+    load_model,
+    params_from_reader,
+    random_tiny_model,
+    synthetic_params,
+    LLAMA_CONFIGS,
+)

@@ -228,3 +228,67 @@ def random_tiny_model(
                 else:
                     wtr.write_array(name, arr, GGML_FTYPE_F32)
     return hp, tensors
+
+
+# ---------------------------------------------------------------------------
+# synthetic on-device params (benchmarks / compile checks without real weights)
+
+LLAMA_CONFIGS = {
+    # n_layer-keyed family table, llama.cpp:773-779 + n_ff derivation
+    "7B": dict(n_vocab=32000, n_embd=4096, n_layer=32, n_head=32, n_rot=128, n_ff=11008),
+    "13B": dict(n_vocab=32000, n_embd=5120, n_layer=40, n_head=40, n_rot=128, n_ff=13824),
+    "30B": dict(n_vocab=32000, n_embd=6656, n_layer=60, n_head=52, n_rot=128, n_ff=17920),
+    "65B": dict(n_vocab=32000, n_embd=8192, n_layer=80, n_head=64, n_rot=128, n_ff=22016),
+}
+
+
+def synthetic_params(
+    cfg: ModelConfig,
+    seed: int = 0,
+    scale_dtype=jnp.bfloat16,
+    tp: int = 1,
+    layout: str = LAYOUT_ILV,
+) -> LlamaParams:
+    """Random Q4_0-packed params generated directly on device (no host copy).
+
+    Weight values are plausible-magnitude random nibbles/scales; used for
+    benchmarking the compute path at full 7B/13B/... shapes."""
+    from ..models.llama import QEmbedding
+
+    key = jax.random.key(seed)
+
+    def qw(k, n, chunks=1):
+        nonlocal key
+        key, k1, k2 = jax.random.split(key, 3)
+        packed = jax.random.randint(k1, (k // 2, n), -128, 128, dtype=jnp.int8)
+        scales = (
+            jax.random.uniform(k2, (k // QK, n), jnp.float32, 0.005, 0.02)
+        ).astype(scale_dtype)
+        from ..ops.qweight import QWeight
+
+        return QWeight(packed=packed, scales=scales, bias=None, layout=layout, chunks=chunks)
+
+    def norm(n):
+        return jnp.ones((n,), jnp.float32)
+
+    e, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    layer = lambda: LayerParams(
+        attn_norm=norm(e),
+        wq=qw(e, e), wk=qw(e, e), wv=qw(e, e), wo=qw(e, e, chunks=tp),
+        ffn_norm=norm(e),
+        w1=qw(e, f), w2=qw(f, e, chunks=tp), w3=qw(e, f),
+    )
+    layers = [layer() for _ in range(cfg.n_layer)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    key, k1, k2 = jax.random.split(key, 3)
+    emb = QEmbedding(
+        packed=jax.random.randint(k1, (v, e // 2), -128, 128, dtype=jnp.int8),
+        scales=jax.random.uniform(k2, (v, e // QK), jnp.float32, 0.005, 0.02).astype(
+            scale_dtype
+        ),
+        bias=None,
+        k=e,
+    )
+    return LlamaParams(
+        tok_embeddings=emb, layers=stacked, norm=norm(e), output=qw(e, v)
+    )
