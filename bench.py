@@ -13,6 +13,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 """
 
 import json
+import numpy as np
 import sys
 import time
 from functools import partial
@@ -38,7 +39,7 @@ def log(*a):
 def main():
     model = "7B"
     n_ctx = 512
-    warmup, measure = 8, 64
+    warmup, measure = 16, 128
 
     cfg = ModelConfig(**LLAMA_CONFIGS[model])
     log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
@@ -49,30 +50,34 @@ def main():
 
     cache = init_kv_cache(cfg, 1, n_ctx)
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def step(params, token, cache, n_past):
-        logits, cache, _ = llama_forward(params, token.reshape(1, 1), cache, n_past, cfg)
-        return jnp.argmax(logits[0, -1]).astype(jnp.int32), cache
+    # device-side decode loop: the sampled token feeds the next step without
+    # leaving the chip (the reference's "only a 4-byte result crosses back"
+    # design, llama-vk.cpp:2264-2320 — here a whole block of ids at once)
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+    def decode(params, tok0, cache, n_past0, n_steps):
+        def body(state, i):
+            tok, cache = state
+            logits, cache, _ = llama_forward(
+                params, tok.reshape(1, 1), cache, n_past0 + i, cfg
+            )
+            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            return (nxt, cache), nxt
 
-    # prefill a short prompt region by stepping (keeps one compiled program)
-    log("compiling decode step ...")
+        (tok, cache), toks = jax.lax.scan(
+            body, (tok0, cache), jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        return toks, cache
+
+    log("compiling decode loop ...")
     t0 = time.perf_counter()
-    tok = jnp.int32(1)
-    tok, cache = step(params, tok, cache, jnp.int32(0))
-    tok.block_until_ready()
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    toks, cache = decode(params, jnp.int32(1), cache, jnp.int32(0), warmup)
+    np.asarray(toks)  # host fetch = real sync (block_until_ready lies on axon)
+    log(f"compile+warmup({warmup} tokens): {time.perf_counter() - t0:.1f}s")
 
-    n_past = 1
-    for i in range(warmup):
-        tok, cache = step(params, tok, cache, jnp.int32(n_past))
-        n_past += 1
-    int(tok)
-
+    n_past = warmup
     t0 = time.perf_counter()
-    for i in range(measure):
-        tok, cache = step(params, tok, cache, jnp.int32(n_past))
-        n_past += 1
-        int(tok)  # per-token host sync, like real single-stream serving
+    toks, cache = decode(params, toks[-1], cache, jnp.int32(n_past), measure)
+    toks = np.asarray(toks)
     dt = time.perf_counter() - t0
     ms_tok = dt / measure * 1e3
     tok_s = measure / dt

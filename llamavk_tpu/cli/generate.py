@@ -1,0 +1,150 @@
+"""Generation CLI — parity with examples/main (`examples/main/main.cpp`).
+
+Features mirrored: prompt eval + streaming decode, sampling flags
+(top-k/top-p/temp/repeat-penalty/repeat-last-n), --ignore-eos, --n-keep with
+infinite-generation context swap (keep n_keep prompt tokens, re-feed half of
+the recent window on overflow, main.cpp:246-266), interactive mode with
+reverse-prompt (antiprompt) detection (main.cpp:348-366), and instruct
+(Alpaca) prefix/suffix injection (main.cpp:155-163,418-430).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..models import load_model
+from ..runtime import Engine, EngineConfig, SamplerParams
+from ..tokenizer import BOS_ID, EOS_ID
+
+INSTRUCT_PREFIX = "\n\n### Instruction:\n\n"
+INSTRUCT_SUFFIX = "\n\n### Response:\n\n"
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-f", "--file", help="read prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=128)
+    ap.add_argument("-c", "--ctx-size", type=int, default=512)
+    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--repeat-penalty", type=float, default=1.10)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
+    ap.add_argument("--ignore-eos", action="store_true")
+    ap.add_argument("--n-keep", type=int, default=0)
+    ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
+    ap.add_argument("-ins", "--instruct", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+class ContextManager:
+    """Infinite generation: when the context fills, keep the first n_keep
+    tokens and re-feed the last half of the remaining window."""
+
+    def __init__(self, engine: Engine, n_ctx: int, n_keep: int):
+        self.engine = engine
+        self.n_ctx = n_ctx
+        self.n_keep = n_keep
+
+    def ensure_room(self, needed: int) -> None:
+        e = self.engine
+        if e.n_past + needed <= self.n_ctx:
+            return
+        n_left = e.n_past - self.n_keep
+        keep_tokens = e.tokens[: self.n_keep]
+        refeed = e.tokens[max(self.n_keep, e.n_past - n_left // 2):]
+        e.reset()
+        if keep_tokens:
+            e.eval(keep_tokens)
+        if refeed:
+            e.eval(refeed)
+        e.tokens = list(keep_tokens) + list(refeed)
+
+
+def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
+    cfg, params, tok = load_model(args.model)
+    engine = Engine(
+        cfg,
+        params,
+        EngineConfig(n_ctx=args.ctx_size, seed=args.seed if args.seed >= 0 else 0),
+    )
+    sp = SamplerParams(
+        top_k=args.top_k,
+        top_p=args.top_p,
+        temp=args.temp,
+        repeat_penalty=args.repeat_penalty,
+        repeat_last_n=args.repeat_last_n,
+    )
+    prompt = args.prompt
+    if args.file:
+        with open(args.file) as f:
+            prompt = f.read()
+    if args.instruct:
+        args.interactive = True
+        args.reverse_prompt.append(INSTRUCT_PREFIX.strip())
+
+    # reference behavior: prepend a space to the prompt (main.cpp:138-141)
+    prompt_tokens = tok.encode(" " + prompt, bos=True)
+    n_keep = args.n_keep if args.n_keep > 0 else len(prompt_tokens)
+    ctxman = ContextManager(engine, args.ctx_size, min(n_keep, args.ctx_size // 2))
+
+    reverse_seqs = [tok.encode(r, bos=False) for r in args.reverse_prompt]
+    out_buf = bytearray()
+
+    def stream(t: int) -> bool:
+        piece = tok.decode_token(t)
+        out_buf.extend(piece)
+        stdout.write(piece.decode("utf-8", errors="replace"))
+        stdout.flush()
+        # antiprompt detection on the token tail
+        for rs in reverse_seqs:
+            if rs and engine.tokens[-len(rs):] == rs:
+                return False
+        return True
+
+    pending = prompt_tokens
+    remaining = args.n_predict
+    while True:
+        ctxman.ensure_room(len(pending) + 1)
+        n = min(remaining, args.ctx_size - engine.n_past - len(pending))
+        if n <= 0:
+            break
+        got = engine.generate(
+            pending, n, sp, on_token=stream, ignore_eos=args.ignore_eos
+        )
+        remaining -= len(got)
+        ended = (not args.ignore_eos and got and got[-1] == EOS_ID)
+        if args.interactive and (remaining > 0 or ended):
+            stdout.write("\n> ")
+            stdout.flush()
+            line = stdin.readline()
+            if not line:
+                break
+            if args.instruct:
+                line = INSTRUCT_PREFIX + line.rstrip("\n") + INSTRUCT_SUFFIX
+            pending = tok.encode(line, bos=False)
+            if ended:
+                remaining = args.n_predict
+            continue
+        break
+
+    stdout.write("\n")
+    print(engine.timings.report(), file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,23 +55,43 @@ def q4_matmul_ref(x: jax.Array, qw: QWeight, out_dtype=jnp.float32) -> jax.Array
 
 
 def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str):
-    p = p_ref[:].astype(jnp.int32)
-    hi = (p >> 4).astype(jnp.float32)
-    lo = ((p << 28) >> 28).astype(jnp.float32)
-    s = s_ref[:].astype(jnp.float32)  # [G, BN]
+    """Fused dequant+matmul over one packed chunk.
+
+    ilv layout: storage row r uses scales[r % G], so each G-row slice of the
+    packed block lines up 1:1 with the whole scales plane — the loop below
+    processes one slice of storage rows per step (both nibbles of those
+    bytes), needing no scale broadcast at all and bounding VMEM temporaries
+    to O(G x BN) regardless of K (the w2 matmul has K = n_ff = 11008).
+    """
+    x = x_ref[:]
     half = p_ref.shape[0]
-    g = s.shape[0]
+    g = s_ref.shape[0]
+    s = s_ref[:].astype(jnp.float32)  # [G, BN]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
     if layout == LAYOUT_ILV:
-        # storage row r (either half) uses scales[r % G]: a pure tile
-        s_lo = s_hi = pltpu.repeat(s, half // g, axis=0)
+        m_steps = half // g  # = QK // 2
+        for m in range(m_steps):
+            p = p_ref[m * g : (m + 1) * g, :].astype(jnp.int32)
+            w_lo = (((p << 28) >> 28).astype(jnp.float32) * s).astype(jnp.bfloat16)
+            w_hi = ((p >> 4).astype(jnp.float32) * s).astype(jnp.bfloat16)
+            acc += jnp.dot(
+                x[:, m * g : (m + 1) * g], w_lo, preferred_element_type=jnp.float32
+            )
+            acc += jnp.dot(
+                x[:, half + m * g : half + (m + 1) * g],
+                w_hi,
+                preferred_element_type=jnp.float32,
+            )
     else:
+        p = p_ref[:].astype(jnp.int32)
+        hi = (p >> 4).astype(jnp.float32)
+        lo = ((p << 28) >> 28).astype(jnp.float32)
         s_lo = jnp.repeat(s[: g // 2], QK, axis=0)
         s_hi = jnp.repeat(s[g // 2 :], QK, axis=0)
-    w_lo = (lo * s_lo).astype(jnp.bfloat16)
-    w_hi = (hi * s_hi).astype(jnp.bfloat16)
-    x = x_ref[:]
-    acc = jnp.dot(x[:, :half], w_lo, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(x[:, half:], w_hi, preferred_element_type=jnp.float32)
+        w_lo = (lo * s_lo).astype(jnp.bfloat16)
+        w_hi = (hi * s_hi).astype(jnp.bfloat16)
+        acc = jnp.dot(x[:, :half], w_lo, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(x[:, half:], w_hi, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 

@@ -1,20 +1,21 @@
-"""Decode engine: jitted prefill + single-token decode step with donated
-KV-cache carry and on-device sampling.
+"""Decode engine: jitted prefill + device-side multi-token decode loop with
+donated KV-cache carry and on-device sampling.
 
 This is the TPU re-design of the reference Vulkan decode scheduler
-(`vulkan/llama-vk.cpp:2099-2386` submitPass/process): where the reference
-records one command buffer per token with barriers between dispatches, here
-one jit-compiled XLA program executes the full layer stack plus sampling, the
-KV cache and sampling key are a donated carry (buffers update in place), and
-exactly one int32 crosses device→host per generated token. The API surface
-mirrors llama.h: eval/tokenize/sample/get-set-kv-cache/timings
+(`vulkan/llama-vk.cpp:2099-2386` submitPass/process). Where the reference
+records one command buffer per token and keeps up to two tokens in flight so
+the host is never on the critical path, here a `lax.while_loop` *inside one
+XLA program* feeds each sampled token straight back into the next forward
+step — the host only receives a block of finished token ids (the analog of
+the reference's single 4-byte ResultBuffer readback per token, batched). The
+API surface mirrors llama.h: eval/tokenize/sample/get-set-kv-cache/timings
 (`llama.h:36-168`).
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable
 
@@ -32,6 +33,8 @@ class EngineConfig:
     kv_dtype: str = "bfloat16"  # the reference's f16_kv option (llama.h:56)
     batch: int = 1
     seed: int = 0
+    decode_block: int = 16  # tokens decoded per device round-trip (1 = stream
+    # every token; larger amortizes host latency)
 
 
 @dataclass
@@ -71,6 +74,36 @@ class Timings:
         return "\n".join(lines)
 
 
+def make_decode_block(cfg: ModelConfig):
+    """Build the jitted device-side decode loop for a model config.
+
+    Returns fn(params, tok0, cache, last_tokens, key, n_past, sp, n_steps,
+    eos_id, stop_at_eos) → (tokens [n_steps], n_done, cache, last_tokens, key).
+    The loop body runs the full quantized forward + sampler; the sampled token
+    feeds the next iteration without leaving the device.
+    """
+
+    @partial(jax.jit, static_argnames=("sp", "n_steps"), donate_argnums=(2, 3, 4))
+    def decode_block(params, tok0, cache, last_tokens, key, n_past, sp, n_steps):
+        def scan_body(state, i):
+            tok, cache, last, key = state
+            logits, cache, _ = llama_forward(
+                params, tok.reshape(1, 1), cache, n_past + i, cfg
+            )
+            key, sub = jax.random.split(key)
+            nxt = sample_token(logits[0, -1], last, sub, sp)
+            last = jnp.roll(last, -1).at[-1].set(nxt)
+            return (nxt, cache, last, key), nxt
+
+        state = (tok0, cache, last_tokens, key)
+        (tok, cache, last, key), toks = jax.lax.scan(
+            scan_body, state, jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        return toks, cache, last, key
+
+    return decode_block
+
+
 class Engine:
     def __init__(
         self,
@@ -93,18 +126,8 @@ class Engine:
                 params, tokens, cache, n_past, cfg_, logits_all=logits_all
             )
 
-        @partial(jax.jit, donate_argnums=(2, 3, 4), static_argnames=("sp",))
-        def _decode_step(params, token, cache, last_tokens, key, n_past, sp):
-            logits, cache, _ = llama_forward(
-                params, token.reshape(1, 1), cache, n_past, cfg_
-            )
-            key, sub = jax.random.split(key)
-            tok = sample_token(logits[0, -1], last_tokens, sub, sp)
-            last_tokens = jnp.roll(last_tokens, -1).at[-1].set(tok)
-            return tok, cache, last_tokens, key
-
         self._prefill = _prefill
-        self._decode_step = _decode_step
+        self._decode_block = make_decode_block(cfg)
 
     # --- state ---------------------------------------------------------
 
@@ -151,13 +174,12 @@ class Engine:
         eos_id: int = 2,
         ignore_eos: bool = False,
     ) -> list[int]:
-        """Prefill the prompt then decode up to n_predict tokens on device.
-
-        on_token returns False to stop early (antiprompt hooks etc.)."""
+        """Prefill the prompt, then decode up to n_predict tokens with the
+        device-side loop, surfacing tokens to the host in blocks of
+        ecfg.decode_block. on_token returns False to stop early."""
         assert self.n_past + len(prompt_tokens) + n_predict <= self.ecfg.n_ctx, (
             "context overflow; use ContextManager for infinite generation"
         )
-        # seed the repeat-penalty window with prompt tokens
         w = sp.repeat_last_n
         last = np.full(w, -1, np.int32)
         hist = (self.tokens + list(prompt_tokens))[-w:]
@@ -166,26 +188,27 @@ class Engine:
         last_tokens = jnp.asarray(last)
 
         logits = self.eval(prompt_tokens)
-        # sample the first token from prefill logits
         self.key, sub = jax.random.split(self.key)
-        tok = int(
-            sample_token(jnp.asarray(logits[-1]), last_tokens, sub, sp)
-        )
-        out = []
-        cache, key = self.cache, self.key
+        tok = int(sample_token(jnp.asarray(logits[-1]), last_tokens, sub, sp))
         last_tokens = jnp.roll(last_tokens, -1).at[-1].set(tok)
+
+        out: list[int] = []
+        cache, key = self.cache, self.key
         t0 = time.perf_counter()
         n_eval = 0
-        for _ in range(n_predict):
+        stop = False
+        while True:
             out.append(tok)
             self.tokens.append(tok)
             if on_token is not None and not on_token(tok):
-                break
+                stop = True
             if not ignore_eos and tok == eos_id:
+                stop = True
+            remaining = n_predict - len(out)
+            if stop or remaining <= 0:
                 break
-            if len(out) == n_predict:
-                break
-            tok_dev, cache, last_tokens, key = self._decode_step(
+            n = min(self.ecfg.decode_block, remaining)
+            toks, cache, last_tokens, key = self._decode_block(
                 self.params,
                 jnp.int32(tok),
                 cache,
@@ -193,14 +216,31 @@ class Engine:
                 key,
                 jnp.int32(self.n_past),
                 sp,
+                n,
             )
-            self.n_past += 1
-            n_eval += 1
-            tok = int(tok_dev)  # the single 4-byte device→host transfer
+            block = [int(t) for t in np.asarray(toks)]
+            # truncate at the first eos (tokens after it were speculative)
+            if not ignore_eos and eos_id in block:
+                block = block[: block.index(eos_id) + 1]
+            n_eval += len(block)
+            self.n_past += len(block)
+            # surface all but the final token; the final one loops back as tok
+            for t in block[:-1]:
+                out.append(t)
+                self.tokens.append(t)
+                if on_token is not None and not on_token(t):
+                    stop = True
+                if not ignore_eos and t == eos_id:
+                    stop = True
+            tok = block[-1]
+            if stop:
+                out.append(tok)
+                self.tokens.append(tok)
+                break
         self.cache, self.key = cache, key
         self.timings.t_eval_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_eval += n_eval
-        return out
+        return out[:n_predict]
 
     # --- session save/restore (llama_get/set_kv_cache parity) ------------
 

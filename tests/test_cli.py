@@ -1,0 +1,93 @@
+"""CLI tool tests on the tiny model: quantize, quantize-stats, perplexity,
+generate, embedding."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from llamavk_tpu.formats import CheckpointReader
+from llamavk_tpu.formats.q4 import GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1
+from llamavk_tpu.models import load_model, random_tiny_model
+from llamavk_tpu.cli.quantize import quantize_file
+from llamavk_tpu.cli.quantize_stats import run_stats
+from llamavk_tpu.cli.perplexity import perplexity
+
+
+@pytest.fixture(scope="module")
+def f32_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny-f32.bin")
+    random_tiny_model(write_path=path, quantize=False)
+    return path
+
+
+def test_quantize_cli_roundtrip(f32_model, tmp_path):
+    out = str(tmp_path / "tiny-q4_0.bin")
+    quantize_file(f32_model, out, GGML_FTYPE_Q4_0, verbose=False)
+    r = CheckpointReader(out)
+    assert r.hparams.ftype == GGML_FTYPE_Q4_0
+    t = r.tensors["layers.0.attention.wq.weight"]
+    assert t.ftype == GGML_FTYPE_Q4_0
+    # norms stay f32
+    assert r.tensors["norm.weight"].ftype == 0
+    # loadable and runnable
+    cfg, params, tok = load_model(out)
+    from llamavk_tpu.runtime import Engine, EngineConfig, SamplerParams
+
+    e = Engine(cfg, params, EngineConfig(n_ctx=32))
+    out_toks = e.generate([1, 2, 3], 4, SamplerParams(temp=0.0), ignore_eos=True)
+    assert len(out_toks) == 4
+
+
+def test_quantize_q4_1(f32_model, tmp_path):
+    out = str(tmp_path / "tiny-q4_1.bin")
+    quantize_file(f32_model, out, GGML_FTYPE_Q4_1, verbose=False)
+    cfg, params, _ = load_model(out)
+    from llamavk_tpu.models import init_kv_cache, llama_forward
+    import jax.numpy as jnp
+
+    cache = init_kv_cache(cfg, 1, 8)
+    logits, _, _ = llama_forward(
+        params, jnp.asarray([[1, 2]], jnp.int32), cache, jnp.int32(0), cfg
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantize_stats(f32_model, capsys):
+    res = run_stats(f32_model, GGML_FTYPE_Q4_0, per_layer=False)
+    tot = res["__total__"]
+    assert 0 < tot["rmse"] < 0.02  # ~uniform quant error of 0.1-scale weights
+    # device packed layout must round-trip identically to the codec
+    res_dev = run_stats(f32_model, GGML_FTYPE_Q4_0, per_layer=False, device=True)
+    assert res_dev["__total__"]["rmse"] == pytest.approx(tot["rmse"], abs=1e-7)
+
+
+def test_perplexity_runs(f32_model):
+    cfg, params, tok = load_model(f32_model)
+    # synthetic "text" long enough for 2 chunks of n_ctx=16: feed raw bytes
+    text = bytes([65 + (i % 26) for i in range(2000)])
+    ppl = perplexity(cfg, params, tok, text, n_ctx=16, max_chunks=2)
+    assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_generate_cli(f32_model, tmp_path, monkeypatch):
+    from llamavk_tpu.cli.generate import build_argparser, run
+
+    q4 = str(tmp_path / "q.bin")
+    quantize_file(f32_model, q4, GGML_FTYPE_Q4_0, verbose=False)
+    args = build_argparser().parse_args(
+        ["-m", q4, "-p", "hello", "-n", "4", "--temp", "0", "-c", "64", "--ignore-eos"]
+    )
+    out = io.StringIO()
+    rc = run(args, stdout=out)
+    assert rc == 0
+
+
+def test_embedding_cli(f32_model, capsys):
+    from llamavk_tpu.cli.embedding import main
+
+    rc = main(["-m", f32_model, "-p", "hi", "-c", "32"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split()
+    assert len(out) == 128  # n_embd of the tiny model
