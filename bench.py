@@ -70,18 +70,25 @@ def main():
 
     log("compiling decode loop ...")
     t0 = time.perf_counter()
-    toks, cache = decode(params, jnp.int32(1), cache, jnp.int32(0), warmup)
+    # warm up the exact program that gets measured (same static n_steps)
+    toks, cache = decode(params, jnp.int32(1), cache, jnp.int32(0), measure)
     np.asarray(toks)  # host fetch = real sync (block_until_ready lies on axon)
-    log(f"compile+warmup({warmup} tokens): {time.perf_counter() - t0:.1f}s")
+    log(f"compile+warmup({measure} tokens): {time.perf_counter() - t0:.1f}s")
 
-    n_past = warmup
-    t0 = time.perf_counter()
-    toks, cache = decode(params, toks[-1], cache, jnp.int32(n_past), measure)
-    toks = np.asarray(toks)
-    dt = time.perf_counter() - t0
-    ms_tok = dt / measure * 1e3
-    tok_s = measure / dt
-    log(f"decode: {ms_tok:.2f} ms/token = {tok_s:.2f} tok/s (measured {measure} tokens)")
+    best_dt = float("inf")
+    n_past = measure
+    rounds = 3
+    for r in range(rounds):
+        n_past = measure * (r + 1) % (n_ctx - measure)
+        t0 = time.perf_counter()
+        toks, cache = decode(params, toks[-1], cache, jnp.int32(n_past), measure)
+        toks_h = np.asarray(toks)
+        dt = time.perf_counter() - t0
+        log(f"round {r}: {dt / measure * 1e3:.2f} ms/token")
+        best_dt = min(best_dt, dt)
+    ms_tok = best_dt / measure * 1e3
+    tok_s = measure / best_dt
+    log(f"decode: {ms_tok:.2f} ms/token = {tok_s:.2f} tok/s (best of {rounds}x{measure})")
 
     print(
         json.dumps(

@@ -252,43 +252,49 @@ def synthetic_params(
     """Random Q4_0-packed params generated directly on device (no host copy).
 
     Weight values are plausible-magnitude random nibbles/scales; used for
-    benchmarking the compute path at full 7B/13B/... shapes."""
+    benchmarking the compute path at full 7B/13B/... shapes. The whole pytree
+    is generated inside ONE jit program (one dispatch — device/remote
+    round-trips are not free)."""
     from ..models.llama import QEmbedding
+    from ..ops.qweight import QWeight
 
-    key = jax.random.key(seed)
+    L = cfg.n_layer
+    e, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
 
-    def qw(k, n, chunks=1):
-        nonlocal key
-        key, k1, k2 = jax.random.split(key, 3)
-        packed = jax.random.randint(k1, (k // 2, n), -128, 128, dtype=jnp.int8)
-        scales = (
-            jax.random.uniform(k2, (k // QK, n), jnp.float32, 0.005, 0.02)
+    def qw(key, k, n, lead=(), chunks=1):
+        k1, k2 = jax.random.split(key)
+        packed = jax.random.randint(k1, (*lead, k // 2, n), -128, 128, dtype=jnp.int8)
+        scales = jax.random.uniform(
+            k2, (*lead, k // QK, n), jnp.float32, 0.005, 0.02
         ).astype(scale_dtype)
-        from ..ops.qweight import QWeight
-
         return QWeight(packed=packed, scales=scales, bias=None, layout=layout, chunks=chunks)
 
-    def norm(n):
-        return jnp.ones((n,), jnp.float32)
+    @jax.jit
+    def build(key):
+        ks = jax.random.split(key, 12)
+        norm1 = jnp.ones((e,), jnp.float32)
+        normL = jnp.ones((L, e), jnp.float32)
+        layers = LayerParams(
+            attn_norm=normL,
+            wq=qw(ks[0], e, e, (L,)),
+            wk=qw(ks[1], e, e, (L,)),
+            wv=qw(ks[2], e, e, (L,)),
+            wo=qw(ks[3], e, e, (L,), chunks=tp),
+            ffn_norm=normL,
+            w1=qw(ks[4], e, f, (L,)),
+            w2=qw(ks[5], f, e, (L,), chunks=tp),
+            w3=qw(ks[6], e, f, (L,)),
+        )
+        emb = QEmbedding(
+            packed=jax.random.randint(ks[7], (v, e // 2), -128, 128, dtype=jnp.int8),
+            scales=jax.random.uniform(ks[8], (v, e // QK), jnp.float32, 0.005, 0.02).astype(
+                scale_dtype
+            ),
+            bias=None,
+            k=e,
+        )
+        return LlamaParams(
+            tok_embeddings=emb, layers=layers, norm=norm1, output=qw(ks[9], e, v)
+        )
 
-    e, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
-    layer = lambda: LayerParams(
-        attn_norm=norm(e),
-        wq=qw(e, e), wk=qw(e, e), wv=qw(e, e), wo=qw(e, e, chunks=tp),
-        ffn_norm=norm(e),
-        w1=qw(e, f), w2=qw(f, e, chunks=tp), w3=qw(e, f),
-    )
-    layers = [layer() for _ in range(cfg.n_layer)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-    key, k1, k2 = jax.random.split(key, 3)
-    emb = QEmbedding(
-        packed=jax.random.randint(k1, (v, e // 2), -128, 128, dtype=jnp.int8),
-        scales=jax.random.uniform(k2, (v, e // QK), jnp.float32, 0.005, 0.02).astype(
-            scale_dtype
-        ),
-        bias=None,
-        k=e,
-    )
-    return LlamaParams(
-        tok_embeddings=emb, layers=stacked, norm=norm(e), output=qw(e, v)
-    )
+    return build(jax.random.key(seed))
