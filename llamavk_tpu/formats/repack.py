@@ -186,3 +186,39 @@ def repack_q4_1(
 def repack_dense(w: np.ndarray) -> np.ndarray:
     """Dense (f16/f32) weight [N, K] from checkpoint → [K, N] f32 for device."""
     return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def _interleave_cols(arrs: list[np.ndarray], tp: int) -> np.ndarray:
+    """Concatenate along the last axis, interleaving per-tp-shard segments:
+    result columns = [a0_s0 | a1_s0 | ... | a0_s1 | a1_s1 | ...] so that a
+    'tp'-way shard of the result holds each source's matching shard."""
+    if tp == 1:
+        return np.concatenate(arrs, axis=-1)
+    segs = []
+    for s in range(tp):
+        for a in arrs:
+            n = a.shape[-1]
+            assert n % tp == 0, (n, tp)
+            seg = n // tp
+            segs.append(a[..., s * seg : (s + 1) * seg])
+    return np.concatenate(segs, axis=-1)
+
+
+def fuse_packed(parts: list[PackedQ4], tp: int = 1) -> PackedQ4:
+    """Fuse column-parallel weights (e.g. wq|wk|wv or w1|w3) into one packed
+    matmul along N — one Pallas dispatch instead of several."""
+    p0 = parts[0]
+    assert all(p.k == p0.k and p.layout == p0.layout and p.chunks == p0.chunks
+               for p in parts)
+    has_bias = any(p.bias is not None for p in parts)
+    if has_bias:
+        assert all(p.bias is not None for p in parts), "cannot fuse q4_0 with q4_1"
+    return PackedQ4(
+        packed=_interleave_cols([p.packed for p in parts], tp),
+        scales=_interleave_cols([p.scales for p in parts], tp),
+        bias=_interleave_cols([p.bias for p in parts], tp) if has_bias else None,
+        k=p0.k,
+        n=sum(p.n for p in parts),
+        layout=p0.layout,
+        chunks=p0.chunks,
+    )

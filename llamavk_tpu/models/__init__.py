@@ -1,6 +1,7 @@
 from .llama import (
     ModelConfig,
     LayerParams,
+    FusedLayerParams,
     LlamaParams,
     QEmbedding,
     embed_tokens,

@@ -102,6 +102,22 @@ class LayerParams:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class FusedLayerParams:
+    """Launch-fused layer weights: wq/wk/wv concatenated into one [K, 3E]
+    matmul and w1/w3 into [K, 2F] — halves the Pallas dispatches per layer.
+    Under TP the concatenation interleaves per-shard segments
+    [q_i | k_i | v_i] so a 'tp' shard of the N axis stays self-contained."""
+
+    attn_norm: jax.Array
+    wqkv: Weight  # [n_embd, 3*n_embd]
+    wo: Weight
+    ffn_norm: jax.Array
+    w13: Weight  # [n_embd, 2*n_ff] (gate | up)
+    w2: Weight
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class LlamaParams:
     tok_embeddings: Embedding
     layers: LayerParams  # stacked: every leaf has a leading n_layer dim
@@ -163,20 +179,35 @@ def _attention(
     n_past: jax.Array,  # scalar int32
     mesh_axis: str | None = None,
 ) -> jax.Array:
-    """Causal attention of T new queries against the (updated) cache."""
+    """Causal attention of T new queries against the (updated) cache.
+
+    Cache operands stay in their storage dtype (bf16) on the MXU with f32
+    accumulation — converting the whole cache to f32 would double the HBM
+    traffic of the decode hot path."""
     b, t, h, d = q.shape
     s = k_cache.shape[1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
-    scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(jnp.float32), k_cache.astype(jnp.float32)
-    ) * scale
+    scores = (
+        jnp.einsum(
+            "bthd,bshd->bhts",
+            q.astype(k_cache.dtype),
+            k_cache,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
     # position j visible to query t iff j <= n_past + t
     jpos = jnp.arange(s)[None, :]
     tpos = n_past + jnp.arange(t)[:, None]
     mask = jpos <= tpos  # [T, S]
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32))
+    out = jnp.einsum(
+        "bhts,bshd->bthd",
+        probs.astype(v_cache.dtype),
+        v_cache,
+        preferred_element_type=jnp.float32,
+    )
     return out
 
 
@@ -219,11 +250,19 @@ def llama_forward(
 
     def layer_step(x, layer_inputs):
         lp, k_l, v_l = layer_inputs
+        fused = isinstance(lp, FusedLayerParams)
         # --- attention block (llama.cpp:976-1070)
         xa = rms_norm(x, lp.attn_norm, cfg.norm_eps)
-        q = _linear(xa, lp.wq).reshape(b, t, -1, d)  # local heads under TP
-        k = _linear(xa, lp.wk).reshape(b, t, -1, d)
-        v = _linear(xa, lp.wv).reshape(b, t, -1, d)
+        if fused:
+            qkv = _linear(xa, lp.wqkv)
+            e_loc = qkv.shape[-1] // 3
+            q = qkv[..., :e_loc].reshape(b, t, -1, d)
+            k = qkv[..., e_loc : 2 * e_loc].reshape(b, t, -1, d)
+            v = qkv[..., 2 * e_loc :].reshape(b, t, -1, d)
+        else:
+            q = _linear(xa, lp.wq).reshape(b, t, -1, d)  # local heads under TP
+            k = _linear(xa, lp.wk).reshape(b, t, -1, d)
+            v = _linear(xa, lp.wv).reshape(b, t, -1, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
         k_l = jax.lax.dynamic_update_slice(
@@ -240,8 +279,13 @@ def llama_forward(
         x = x + wo_out
         # --- FFN block (llama.cpp:1073-1101)
         xf = rms_norm(x, lp.ffn_norm, cfg.norm_eps)
-        gate = _linear(xf, lp.w1)
-        up = _linear(xf, lp.w3)
+        if fused:
+            gu = _linear(xf, lp.w13)
+            f_loc = gu.shape[-1] // 2
+            gate, up = gu[..., :f_loc], gu[..., f_loc:]
+        else:
+            gate = _linear(xf, lp.w1)
+            up = _linear(xf, lp.w3)
         act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
             dtype
         )

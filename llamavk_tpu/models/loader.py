@@ -22,10 +22,17 @@ from ..formats.q4 import (
     QK,
     quantize_q4_0,
 )
-from ..formats.repack import LAYOUT_ILV, repack_q4_0, repack_q4_1
+from ..formats.repack import (
+    LAYOUT_ILV,
+    PackedQ4,
+    _interleave_cols,
+    fuse_packed,
+    repack_q4_0,
+    repack_q4_1,
+)
 from ..ops.qweight import QWeight, qweight_from_packed
 from ..tokenizer import Tokenizer
-from .llama import LayerParams, LlamaParams, ModelConfig, QEmbedding
+from .llama import FusedLayerParams, LayerParams, LlamaParams, ModelConfig, QEmbedding
 
 
 def _put(arr, sharding=None, dtype=None):
@@ -34,16 +41,8 @@ def _put(arr, sharding=None, dtype=None):
     return jax.device_put(arr, sharding) if sharding is not None else jnp.asarray(arr)
 
 
-def _load_weight(
-    reader: CheckpointReader,
-    name: str,
-    layout: str,
-    scale_dtype,
-    dense_dtype,
-    sharding=None,
-    chunks: int = 1,
-):
-    """Load a 2-D matmul weight as QWeight (q4) or dense [K, N] array.
+def _read_packed(reader: CheckpointReader, name: str, layout: str, chunks: int):
+    """Read a 2-D matmul weight as PackedQ4 (q4) or dense f32 [K, N].
 
     chunks > 1 packs the K axis as `chunks` independent tensor-parallel row
     shards (for wo/w2 under TP — the inverse of the checkpoint's
@@ -51,20 +50,31 @@ def _load_weight(
     t = reader.tensors[name]
     if t.ftype == GGML_FTYPE_Q4_0:
         d, q = reader.load_q4(name)
-        pk = repack_q4_0(d, q, layout=layout, chunks=chunks)
-    elif t.ftype == GGML_FTYPE_Q4_1:
+        return repack_q4_0(d, q, layout=layout, chunks=chunks)
+    if t.ftype == GGML_FTYPE_Q4_1:
         d, m, q = reader.load_q4(name)
-        pk = repack_q4_1(d, m, q, layout=layout, chunks=chunks)
-    else:
-        w = reader.load_f32(name).T  # [K, N]
-        return _put(np.ascontiguousarray(w), sharding, dense_dtype)
-    return QWeight(
-        packed=_put(pk.packed, sharding),
-        scales=_put(pk.scales, sharding, scale_dtype),
-        bias=None if pk.bias is None else _put(pk.bias, sharding, scale_dtype),
-        layout=pk.layout,
-        chunks=pk.chunks,
-    )
+        return repack_q4_1(d, m, q, layout=layout, chunks=chunks)
+    return np.ascontiguousarray(reader.load_f32(name).T)  # dense [K, N]
+
+
+def _to_device(pk, scale_dtype, dense_dtype, sharding=None):
+    if isinstance(pk, PackedQ4):
+        return QWeight(
+            packed=_put(pk.packed, sharding),
+            scales=_put(pk.scales, sharding, scale_dtype),
+            bias=None if pk.bias is None else _put(pk.bias, sharding, scale_dtype),
+            layout=pk.layout,
+            chunks=pk.chunks,
+        )
+    return _put(pk, sharding, dense_dtype)
+
+
+def _fuse(parts, tp: int):
+    if all(isinstance(p, PackedQ4) for p in parts):
+        return fuse_packed(parts, tp)
+    if all(isinstance(p, np.ndarray) for p in parts):
+        return _interleave_cols(parts, tp)
+    return None  # mixed q4/dense: caller falls back to unfused
 
 
 def _pack_embedding_rows(qs_signed: np.ndarray) -> np.ndarray:
@@ -105,27 +115,49 @@ def params_from_reader(
     dense_dtype=jnp.bfloat16,
     shardings=None,
     tp: int = 1,
+    fuse: bool = True,
 ) -> tuple[ModelConfig, LlamaParams]:
     """Build the device param pytree. `shardings`: optional dict mapping
     tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding.
-    `tp` > 1 chunk-packs row-parallel weights for a tp-way mesh axis."""
+    `tp` > 1 chunk-packs row-parallel weights for a tp-way mesh axis.
+    `fuse` concatenates wq|wk|wv and w1|w3 (fewer, larger kernel launches)."""
     cfg = ModelConfig.from_hparams(reader.hparams)
     sh = shardings or {}
 
-    def lw(name: str, kind: str):
-        return _load_weight(
-            reader,
-            name,
-            layout,
-            scale_dtype,
-            dense_dtype,
-            sh.get(kind),
-            chunks=tp if kind in ROW_PARALLEL_KINDS else 1,
+    def rp(name: str, kind: str):
+        return _read_packed(
+            reader, name, layout, tp if kind in ROW_PARALLEL_KINDS else 1
         )
+
+    def lw(name: str, kind: str):
+        return _to_device(rp(name, kind), scale_dtype, dense_dtype, sh.get(kind))
 
     layers = []
     for i in range(cfg.n_layer):
         p = f"layers.{i}."
+        fused_qkv = fused_13 = None
+        if fuse:
+            fused_qkv = _fuse(
+                [rp(p + "attention.wq.weight", "wq"),
+                 rp(p + "attention.wk.weight", "wk"),
+                 rp(p + "attention.wv.weight", "wv")], tp,
+            )
+            fused_13 = _fuse(
+                [rp(p + "feed_forward.w1.weight", "w1"),
+                 rp(p + "feed_forward.w3.weight", "w3")], tp,
+            )
+        if fused_qkv is not None and fused_13 is not None:
+            layers.append(
+                FusedLayerParams(
+                    attn_norm=_put(reader.load_f32(p + "attention_norm.weight"), sh.get("norm")),
+                    wqkv=_to_device(fused_qkv, scale_dtype, dense_dtype, sh.get("wq")),
+                    wo=lw(p + "attention.wo.weight", "wo"),
+                    ffn_norm=_put(reader.load_f32(p + "ffn_norm.weight"), sh.get("norm")),
+                    w13=_to_device(fused_13, scale_dtype, dense_dtype, sh.get("w1")),
+                    w2=lw(p + "feed_forward.w2.weight", "w2"),
+                )
+            )
+            continue
         layers.append(
             LayerParams(
                 attn_norm=_put(reader.load_f32(p + "attention_norm.weight"), sh.get("norm")),
@@ -274,16 +306,13 @@ def synthetic_params(
         ks = jax.random.split(key, 12)
         norm1 = jnp.ones((e,), jnp.float32)
         normL = jnp.ones((L, e), jnp.float32)
-        layers = LayerParams(
+        layers = FusedLayerParams(
             attn_norm=normL,
-            wq=qw(ks[0], e, e, (L,)),
-            wk=qw(ks[1], e, e, (L,)),
-            wv=qw(ks[2], e, e, (L,)),
+            wqkv=qw(ks[0], e, 3 * e, (L,)),
             wo=qw(ks[3], e, e, (L,), chunks=tp),
             ffn_norm=normL,
-            w1=qw(ks[4], e, f, (L,)),
+            w13=qw(ks[4], e, 2 * f, (L,)),
             w2=qw(ks[5], f, e, (L,), chunks=tp),
-            w3=qw(ks[6], e, f, (L,)),
         )
         emb = QEmbedding(
             packed=jax.random.randint(ks[7], (v, e // 2), -128, 128, dtype=jnp.int8),

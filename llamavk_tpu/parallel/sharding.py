@@ -20,12 +20,14 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.llama import KVCache, LlamaParams, QEmbedding
+from ..models.llama import FusedLayerParams, KVCache, LlamaParams, QEmbedding
 from ..ops.qweight import QWeight
 
 # N-axis ('col') or K-axis ('row') sharding per tensor kind
 KIND_PSPECS: dict[str, P] = {
     "wq": P(None, "tp"),
+    "wqkv": P(None, "tp"),
+    "w13": P(None, "tp"),
     "wk": P(None, "tp"),
     "wv": P(None, "tp"),
     "wo": P("tp", None),
@@ -66,17 +68,27 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
     else:
         emb_spec = P(None, None)
     L = params.layers
-    layers = type(L)(
-        attn_norm=normL,
-        wq=_weight_pspec("wq", L.wq, True),
-        wk=_weight_pspec("wk", L.wk, True),
-        wv=_weight_pspec("wv", L.wv, True),
-        wo=_weight_pspec("wo", L.wo, True),
-        ffn_norm=normL,
-        w1=_weight_pspec("w1", L.w1, True),
-        w2=_weight_pspec("w2", L.w2, True),
-        w3=_weight_pspec("w3", L.w3, True),
-    )
+    if isinstance(L, FusedLayerParams):
+        layers = FusedLayerParams(
+            attn_norm=normL,
+            wqkv=_weight_pspec("wqkv", L.wqkv, True),
+            wo=_weight_pspec("wo", L.wo, True),
+            ffn_norm=normL,
+            w13=_weight_pspec("w13", L.w13, True),
+            w2=_weight_pspec("w2", L.w2, True),
+        )
+    else:
+        layers = type(L)(
+            attn_norm=normL,
+            wq=_weight_pspec("wq", L.wq, True),
+            wk=_weight_pspec("wk", L.wk, True),
+            wv=_weight_pspec("wv", L.wv, True),
+            wo=_weight_pspec("wo", L.wo, True),
+            ffn_norm=normL,
+            w1=_weight_pspec("w1", L.w1, True),
+            w2=_weight_pspec("w2", L.w2, True),
+            w3=_weight_pspec("w3", L.w3, True),
+        )
     return LlamaParams(
         tok_embeddings=emb_spec,
         layers=layers,
