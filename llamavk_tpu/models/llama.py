@@ -128,23 +128,24 @@ class LlamaParams:
 @jax.tree_util.register_dataclass
 @dataclass
 class KVCache:
-    """Dense per-layer KV slabs, [L, B, S, H, D]. The TPU analog of the
-    reference's kv_cache (llama.cpp:671-700); stored bf16 by default
-    (the f16_kv option)."""
+    """Dense per-layer KV slabs, [L, B, H, S, D] — heads-major so the
+    attention einsums are plain batched GEMMs with no cache relayout. The TPU
+    analog of the reference's kv_cache (llama.cpp:671-700); stored bf16 by
+    default (the f16_kv option)."""
 
     k: jax.Array
     v: jax.Array
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16, n_head_local: int | None = None
 ) -> KVCache:
     h = cfg.n_head if n_head_local is None else n_head_local
-    shape = (cfg.n_layer, batch, max_len, h, cfg.head_dim)
+    shape = (cfg.n_layer, batch, h, max_len, cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -174,22 +175,22 @@ def embed_tokens(emb: Embedding, tokens: jax.Array, dtype=jnp.bfloat16) -> jax.A
 
 def _attention(
     q: jax.Array,  # [B, T, H, D]
-    k_cache: jax.Array,  # [B, S, H, D]
-    v_cache: jax.Array,  # [B, S, H, D]
+    k_cache: jax.Array,  # [B, H, S, D]
+    v_cache: jax.Array,  # [B, H, S, D]
     n_past: jax.Array,  # scalar int32
     mesh_axis: str | None = None,
 ) -> jax.Array:
     """Causal attention of T new queries against the (updated) cache.
 
     Cache operands stay in their storage dtype (bf16) on the MXU with f32
-    accumulation — converting the whole cache to f32 would double the HBM
-    traffic of the decode hot path."""
+    accumulation and heads-major layout, so each head's score/value products
+    are contiguous batched GEMMs — no per-step cache relayout."""
     b, t, h, d = q.shape
-    s = k_cache.shape[1]
+    s = k_cache.shape[2]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
     scores = (
         jnp.einsum(
-            "bthd,bshd->bhts",
+            "bthd,bhsd->bhts",
             q.astype(k_cache.dtype),
             k_cache,
             preferred_element_type=jnp.float32,
@@ -197,13 +198,15 @@ def _attention(
         * scale
     )
     # position j visible to query t iff j <= n_past + t
-    jpos = jnp.arange(s)[None, :]
-    tpos = n_past + jnp.arange(t)[:, None]
-    mask = jpos <= tpos  # [T, S]
-    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    # (n_past may be per-batch-row [B] for continuous batching)
+    jpos = jnp.arange(s)  # [S]
+    npast_b = jnp.broadcast_to(jnp.asarray(n_past), (b,))  # [B]
+    tpos = npast_b[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    mask = jpos[None, None, :] <= tpos[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bhts,bshd->bthd",
+        "bhts,bhsd->bthd",
         probs.astype(v_cache.dtype),
         v_cache,
         preferred_element_type=jnp.float32,
@@ -215,7 +218,7 @@ def llama_forward(
     params: LlamaParams,
     tokens: jax.Array,  # [B, T] int32
     cache: KVCache,
-    n_past: jax.Array,  # scalar int32: tokens already in cache
+    n_past: jax.Array,  # int32 scalar (or [B] vector: per-row positions)
     cfg: ModelConfig,
     logits_all: bool = False,
     dtype=jnp.bfloat16,
@@ -245,11 +248,20 @@ def llama_forward(
         return _linear(xx, w)
     x = embed_tokens(params.tok_embeddings, tokens, dtype=dtype)  # [B, T, K]
 
-    positions = n_past + jnp.arange(t)
-    cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [T, D/2]
+    n_past = jnp.asarray(n_past)
+    vector_past = n_past.ndim == 1  # per-row positions (continuous batching)
+    positions = (n_past[:, None] if vector_past else n_past) + jnp.arange(t)
+    cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [(B,) T, D/2]
 
-    def layer_step(x, layer_inputs):
-        lp, k_l, v_l = layer_inputs
+    def layer_step(carry, layer_inputs):
+        # the full cache rides the carry so XLA updates it in place; only the
+        # current layer's slice is read and only T new positions are written
+        # (threading per-layer slices through scan xs/ys forced whole-cache
+        # copies every step)
+        x, ck, cv = carry
+        lp, l = layer_inputs
+        k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         fused = isinstance(lp, FusedLayerParams)
         # --- attention block (llama.cpp:976-1070)
         xa = rms_norm(x, lp.attn_norm, cfg.norm_eps)
@@ -265,12 +277,31 @@ def llama_forward(
             v = _linear(xa, lp.wv).reshape(b, t, -1, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
-        k_l = jax.lax.dynamic_update_slice(
-            k_l, k.astype(k_l.dtype), (0, n_past, 0, 0)
-        )
-        v_l = jax.lax.dynamic_update_slice(
-            v_l, v.astype(v_l.dtype), (0, n_past, 0, 0)
-        )
+        k_w = k.swapaxes(1, 2)  # [B, H, T, D]
+        v_w = v.swapaxes(1, 2)
+        if vector_past:
+            # per-row write offsets: scatter at [l, b, :, n_past[b] + i]
+            rows = jnp.arange(b)[:, None]  # [B, 1]
+            cols = n_past[:, None] + jnp.arange(t)[None, :]  # [B, T]
+            # advanced indices separated by a slice land in front: [B, T, H, D]
+            k_l = k_l.at[rows, :, cols].set(k.astype(k_l.dtype))
+            v_l = v_l.at[rows, :, cols].set(v.astype(v_l.dtype))
+            ck = jax.lax.dynamic_update_index_in_dim(ck, k_l, l, 0)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, v_l, l, 0)
+        else:
+            k_l = jax.lax.dynamic_update_slice(
+                k_l, k_w.astype(k_l.dtype), (0, 0, n_past, 0)
+            )
+            v_l = jax.lax.dynamic_update_slice(
+                v_l, v_w.astype(v_l.dtype), (0, 0, n_past, 0)
+            )
+            # write back only the T new positions of this layer
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
+            )
         attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
         attn = attn.reshape(b, t, -1).astype(dtype)
         wo_out = _row_linear(attn, lp.wo)
@@ -293,10 +324,13 @@ def llama_forward(
         if tp_axis is not None:
             w2_out = jax.lax.psum(w2_out, tp_axis)
         x = x + w2_out
-        return x, (k_l, v_l)
+        return (x, ck, cv), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_step, x, (params.layers, cache.k, cache.v)
+    n_layers = cache.k.shape[0]
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer_step,
+        (x, cache.k, cache.v),
+        (params.layers, jnp.arange(n_layers, dtype=jnp.int32)),
     )
 
     xn = rms_norm(x, params.norm, cfg.norm_eps)

@@ -98,8 +98,8 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
 
 
 def cache_pspec() -> KVCache:
-    """KV cache [L, B, S, H, D]: batch on dp, heads on tp."""
-    s = P(None, "dp", None, "tp", None)
+    """KV cache [L, B, H, S, D]: batch on dp, heads on tp."""
+    s = P(None, "dp", "tp", None, None)
     return KVCache(k=s, v=s)
 
 
