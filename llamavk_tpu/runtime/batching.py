@@ -1,0 +1,260 @@
+"""Continuous batching scheduler — the serving layer.
+
+New capability beyond the reference (its Vulkan path is strictly one stream,
+`vulkan/llama-vk.cpp:2576-2635`): B request slots decode in lockstep as one
+batched device program, requests join/leave between blocks, and the per-slot
+position vector generalizes the reference's history-index indirection
+(`vulkan/llama-vk.cpp:984-987`) — each slot owns a region of the KV slab
+addressed by its own n_past.
+
+Design: static shapes everywhere (XLA traces once). A decode block of
+`block` steps runs fully on device via lax.scan (all slots advance
+together; per-slot sampler params are vectors). Prefill runs per request
+into a scratch B=1 cache and is inserted into the slot with one
+dynamic_update_slice. Finished slots keep computing garbage until the block
+ends — bounded waste that buys static shapes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from .sampling import SamplerParams, sample_tokens_batched
+
+
+@dataclass
+class Request:
+    prompt: list[int]
+    n_predict: int
+    sp: SamplerParams = SamplerParams()
+    seed: int = 0
+    ignore_eos: bool = False
+    # filled by the scheduler:
+    rid: int = -1
+    slot: int = -1
+    generated: list[int] = field(default_factory=list)
+    done: bool = False
+    on_token: Callable[[int], None] | None = None
+
+    @property
+    def output(self) -> list[int]:
+        return self.generated
+
+
+@dataclass(frozen=True)
+class BatchConfig:
+    max_batch: int = 8
+    n_ctx: int = 512  # per-slot KV region length
+    block: int = 8  # decode steps per device round-trip
+    top_k: int = 64  # static sampler pool (max of per-request top_k)
+    repeat_last_n: int = 64
+    kv_dtype: str = "bfloat16"
+
+
+class BatchedEngine:
+    """Continuous-batching decode engine over one model replica."""
+
+    def __init__(self, cfg: ModelConfig, params: LlamaParams, bcfg: BatchConfig = BatchConfig()):
+        self.cfg = cfg
+        self.params = params
+        self.bcfg = bcfg
+        b, w = bcfg.max_batch, bcfg.repeat_last_n
+        self.cache = init_kv_cache(cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype))
+        self.n_past = np.zeros(b, np.int32)
+        self.cur_tok = np.zeros(b, np.int32)
+        self.last_window = np.full((b, w), -1, np.int32)
+        self.keys = jax.vmap(jax.random.key)(jnp.arange(b))
+        self.top_p = np.ones(b, np.float32)
+        self.temp = np.zeros(b, np.float32)
+        self.penalty = np.ones(b, np.float32)
+        self.slots: list[Request | None] = [None] * b
+        self.queue: list[Request] = []
+        self._rid = 0
+        self.stats = {"tokens": 0, "steps": 0, "t_decode": 0.0, "prefills": 0}
+
+        cfg_ = cfg
+
+        @jax.jit
+        def _prefill(params, tokens, cache1, last_idx):
+            # logits_all + dynamic select: prompts are bucket-padded, so the
+            # real last position is last_idx, not -1
+            logits, cache1, _ = llama_forward(
+                params, tokens, cache1, jnp.int32(0), cfg_, logits_all=True
+            )
+            return logits[0, last_idx, :], cache1
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _insert_slot(cache, cache1, slot):
+            k = jax.lax.dynamic_update_slice(
+                cache.k, cache1.k, (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache.v, cache1.v, (0, slot, 0, 0, 0)
+            )
+            return type(cache)(k=k, v=v)
+
+        @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
+        def _decode(params, cache, toks0, last, keys, n_past, top_p, temp, penalty,
+                    n_steps, top_k):
+            def body(state, _):
+                toks, cache, last, keys, n_past = state
+                logits, cache, _ = llama_forward(
+                    params, toks[:, None], cache, n_past, cfg_
+                )
+                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                nxt = sample_tokens_batched(
+                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
+                )
+                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                return (nxt, cache, last, keys2, n_past + 1), nxt
+
+            state = (toks0, cache, last, keys, n_past)
+            (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                body, state, None, length=n_steps
+            )
+            return out.T, cache, last, keys  # out: [B, n_steps]
+
+        self._prefill = _prefill
+        self._insert_slot = _insert_slot
+        self._decode = _decode
+
+    # --- public API -------------------------------------------------------
+
+    def submit(self, prompt: list[int], n_predict: int,
+               sp: SamplerParams = SamplerParams(), seed: int = 0,
+               ignore_eos: bool = False,
+               on_token: Callable[[int], None] | None = None) -> Request:
+        assert len(prompt) + n_predict <= self.bcfg.n_ctx, "request exceeds n_ctx"
+        req = Request(prompt=list(prompt), n_predict=n_predict, sp=sp, seed=seed,
+                      ignore_eos=ignore_eos, rid=self._rid, on_token=on_token)
+        self._rid += 1
+        self.queue.append(req)
+        return req
+
+    def _admit(self) -> None:
+        for slot in range(self.bcfg.max_batch):
+            if self.slots[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            req.slot = slot
+            self.slots[slot] = req
+            # prefill into a scratch single-row cache, then insert
+            cache1 = init_kv_cache(
+                self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
+            )
+            # pad the prompt to a bucket length so prefill compiles per bucket,
+            # not per prompt length; garbage KV past the prompt is overwritten
+            # by decode writes before it can ever be attended
+            plen = len(req.prompt)
+            bucket = 8
+            while bucket < plen:
+                bucket *= 2
+            bucket = min(bucket, self.bcfg.n_ctx)
+            padded = np.zeros(bucket, np.int32)
+            padded[:plen] = req.prompt
+            logits, cache1 = self._prefill(
+                self.params, jnp.asarray(padded)[None], cache1, jnp.int32(plen - 1)
+            )  # [V]
+            self.cache = self._insert_slot(self.cache, cache1, jnp.int32(slot))
+            self.stats["prefills"] += 1
+            # sample the first token on host from prefill logits
+            w = self.bcfg.repeat_last_n
+            hist = req.prompt[-w:]
+            self.last_window[slot] = -1
+            self.last_window[slot, -len(hist):] = hist
+            sp = req.sp
+            self.top_p[slot] = sp.top_p
+            self.temp[slot] = sp.temp
+            self.penalty[slot] = sp.repeat_penalty
+            self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
+            from .sampling import sample_token
+
+            tok = int(
+                sample_token(
+                    logits,
+                    jnp.asarray(self.last_window[slot]),
+                    jax.random.key(req.seed + 1),
+                    sp,
+                )
+            )
+            self._emit(req, tok)
+            self.cur_tok[slot] = tok
+            self.n_past[slot] = len(req.prompt)
+            self.last_window[slot] = np.roll(self.last_window[slot], -1)
+            self.last_window[slot, -1] = tok
+
+    def _emit(self, req: Request, tok: int) -> None:
+        req.generated.append(tok)
+        if req.on_token is not None:
+            req.on_token(tok)
+        if len(req.generated) >= req.n_predict or (
+            not req.ignore_eos and tok == 2
+        ):
+            req.done = True
+
+    def step(self) -> list[Request]:
+        """Admit queued requests, run one decode block, return finished ones."""
+        self._admit()
+        active = [s for s in self.slots if s is not None]
+        if not active:
+            return []
+        # cap block so no active request overshoots its budget or the context
+        live = [r for r in active if not r.done]
+        budget = min((r.n_predict - len(r.generated) for r in live), default=1)
+        room = min(budget, self.bcfg.n_ctx - 1 - int(self.n_past.max()))
+        n_steps = max(1, min(self.bcfg.block, room))
+        t0 = time.perf_counter()
+        toks, self.cache, last, self.keys = self._decode(
+            self.params,
+            self.cache,
+            jnp.asarray(self.cur_tok),
+            jnp.asarray(self.last_window),
+            self.keys,
+            jnp.asarray(self.n_past),
+            jnp.asarray(self.top_p),
+            jnp.asarray(self.temp),
+            jnp.asarray(self.penalty),
+            n_steps,
+            self.bcfg.top_k,
+        )
+        toks = np.asarray(toks)  # [B, n_steps]
+        self.last_window = np.array(last)  # writable host copy
+        self.stats["t_decode"] += time.perf_counter() - t0
+        self.stats["steps"] += n_steps
+
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            consumed = 0
+            for t in toks[slot]:
+                consumed += 1
+                if req.done:
+                    break
+                self._emit(req, int(t))
+                self.stats["tokens"] += 1
+                if req.done:
+                    break
+            self.n_past[slot] += consumed
+            self.cur_tok[slot] = toks[slot][consumed - 1]
+            if req.done:
+                finished.append(req)
+                self.slots[slot] = None
+                self.n_past[slot] = 0
+        return finished
+
+    def run(self) -> list[Request]:
+        """Drain the queue; returns all finished requests."""
+        done: list[Request] = []
+        while self.queue or any(self.slots):
+            done.extend(self.step())
+        return done

@@ -112,3 +112,45 @@ def sample_logits_host(
         order = order[:cut]
         probs = probs / probs.sum()
     return int(order[rng.choice(len(probs), p=probs)])
+
+
+# --- vectorized sampler (continuous batching: per-slot parameters) ----------
+
+
+def sample_token_dyn(
+    logits: jax.Array,  # [V] f32
+    last_tokens: jax.Array,  # [W] int32, -1 padded
+    key: jax.Array,
+    top_k: int,  # static (max pool size)
+    top_p: jax.Array,  # traced scalars — per-request values under vmap
+    temp: jax.Array,
+    repeat_penalty: jax.Array,
+) -> jax.Array:
+    """sample_token with traced sampling params; temp <= 0 selects greedy."""
+    v = logits.shape[-1]
+    scale = jnp.where(temp > 0, 1.0 / jnp.maximum(temp, 1e-6), 1.0)
+    seen = jnp.zeros((v,), bool).at[jnp.where(last_tokens >= 0, last_tokens, 0)].set(
+        last_tokens >= 0
+    )
+    scaled = logits * scale
+    penalized = jnp.where(
+        logits < 0.0, scaled * repeat_penalty, scaled / repeat_penalty
+    )
+    scaled = jnp.where(seen, penalized, scaled)
+
+    k = v if top_k <= 0 else min(top_k, v)
+    top_vals, top_idx = jax.lax.top_k(scaled, k)
+    probs = jax.nn.softmax(top_vals)
+    csum = jnp.cumsum(probs)
+    keep = jnp.concatenate([jnp.ones((1,), bool), csum[:-1] < top_p])
+    probs = jnp.where(keep, probs, 0.0)
+    choice = jax.random.categorical(key, jnp.log(probs + 1e-30))
+    sampled = top_idx[choice].astype(jnp.int32)
+    greedy = jnp.argmax(logits).astype(jnp.int32)
+    return jnp.where(temp > 0, sampled, greedy)
+
+
+# [B]-batched: per-row logits/history/keys/params (top_k static shared)
+sample_tokens_batched = jax.vmap(
+    sample_token_dyn, in_axes=(0, 0, 0, None, 0, 0, 0)
+)
