@@ -22,8 +22,10 @@ from ..formats.q4 import (
     GGML_FTYPE_Q4_0,
     GGML_FTYPE_Q4_1,
     ftype_row_bytes,
-    quantize_tensor_with_hist,
 )
+
+# native C++ quantizer when built (threaded; falls back to the NumPy reference)
+from ..native import quantize_tensor_with_hist
 
 
 def quantize_file(path_in: str, path_out: str, ftype: int, verbose: bool = True) -> None:

@@ -32,6 +32,7 @@ from ..formats.repack import (
 )
 from ..ops.qweight import QWeight, qweight_from_packed
 from ..tokenizer import Tokenizer
+from .. import native
 from .llama import FusedLayerParams, LayerParams, LlamaParams, ModelConfig, QEmbedding
 
 
@@ -48,6 +49,14 @@ def _read_packed(reader: CheckpointReader, name: str, layout: str, chunks: int):
     shards (for wo/w2 under TP — the inverse of the checkpoint's
     SPLIT_BY_COLUMNS merge, llama.cpp:276-287)."""
     t = reader.tensors[name]
+    if t.ftype in (GGML_FTYPE_Q4_0, GGML_FTYPE_Q4_1):
+        # single-pass native repack straight off the mmap when built (the
+        # pipelined-uploader analog, vulkan/llama-vk.cpp:1988-2062)
+        pk = native.repack_q4_stream(
+            reader.raw_tensor(name), t.shape[0], t.ne[0], t.ftype, layout, chunks
+        )
+        if pk is not None:
+            return pk
     if t.ftype == GGML_FTYPE_Q4_0:
         d, q = reader.load_q4(name)
         return repack_q4_0(d, q, layout=layout, chunks=chunks)
@@ -89,6 +98,17 @@ def _load_embedding(reader: CheckpointReader, name: str, scale_dtype, dense_dtyp
     t = reader.tensors[name]
     if t.ftype in (GGML_FTYPE_F16, GGML_FTYPE_F32):
         return _put(reader.load_f32(name), dtype=dense_dtype)
+    packed_sb = native.repack_q4_rows_stream(
+        reader.raw_tensor(name), t.shape[0], t.ne[0], t.ftype
+    )
+    if packed_sb is not None:
+        packed, scales, bias = packed_sb
+        return QEmbedding(
+            packed=_put(packed),
+            scales=_put(scales, dtype=scale_dtype),
+            bias=None if bias is None else _put(bias, dtype=scale_dtype),
+            k=t.ne[0],
+        )
     if t.ftype == GGML_FTYPE_Q4_0:
         d, q = reader.load_q4(name)  # [V, G], [V, G, QK]
         bias = None
