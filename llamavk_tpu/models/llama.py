@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.ggml_io import Hparams
+from ..ops.flash_attn import flash_attention
 from ..ops.norms import rms_norm
 from ..ops.q4_matmul import q4_matmul
 from ..ops.qweight import QWeight
@@ -224,6 +225,8 @@ def llama_forward(
     dtype=jnp.bfloat16,
     tp_axis: str | None = None,
     tp_size: int = 1,
+    attn_impl: str = "auto",
+    collect_acts: bool = False,
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -302,7 +305,17 @@ def llama_forward(
             cv = jax.lax.dynamic_update_slice(
                 cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
             )
-        attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
+        # "auto" (measured on v5e): decode (T=1) einsum attention runs at HBM
+        # roofline (~930 GB/s effective) and beats the Pallas kernel's
+        # per-head DMA loop; prefill (T>1) uses the flash kernel, which never
+        # materializes the [B,H,T,S] score tensor the einsum path would.
+        impl = attn_impl
+        if impl == "auto":
+            impl = "einsum" if t == 1 else "flash"
+        if impl == "flash":
+            attn = flash_attention(q, k_l, v_l, n_past)
+        else:
+            attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
         attn = attn.reshape(b, t, -1).astype(dtype)
         wo_out = _row_linear(attn, lp.wo)
         if tp_axis is not None:
@@ -324,10 +337,17 @@ def llama_forward(
         if tp_axis is not None:
             w2_out = jax.lax.psum(w2_out, tp_axis)
         x = x + w2_out
-        return (x, ck, cv), None
+        # per-layer activation capture: the submitPass(debug) layer-parity
+        # tool of the reference (vulkan/llama-vk.cpp:2271-2340)
+        acts = (
+            dict(attn_norm=xa, attn_out=attn, ffn_norm=xf, layer_out=x)
+            if collect_acts
+            else None
+        )
+        return (x, ck, cv), acts
 
     n_layers = cache.k.shape[0]
-    (x, new_k, new_v), _ = jax.lax.scan(
+    (x, new_k, new_v), layer_acts = jax.lax.scan(
         layer_step,
         (x, cache.k, cache.v),
         (params.layers, jnp.arange(n_layers, dtype=jnp.int32)),
@@ -347,4 +367,11 @@ def llama_forward(
     if tp_axis is not None:
         # vocab-sharded logits → full logits on every device
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if collect_acts:
+        return (
+            logits.astype(jnp.float32),
+            KVCache(k=new_k, v=new_v),
+            embeddings,
+            layer_acts,
+        )
     return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v), embeddings

@@ -1,0 +1,191 @@
+"""Flash attention over the KV cache — the fused-attention kernel of this
+engine (the role `KernelThinFp16Attention` plays in the reference's Vulkan
+path, vulkan/llama-vk.hlsl:343-699, and the library-surface analog of ggml's
+fused `flash_attn` ops, ggml.c:7866-8560 / ggml.h:632-645).
+
+Design (TPU-native, online-softmax blocked attention):
+  * grid = (batch, heads, query blocks); one program owns one [BT, D] query
+    tile and scans the key/value cache in [BK, D] blocks.
+  * K/V stay in HBM (`memory_space=ANY`); the kernel DMAs blocks into a
+    double-buffered VMEM scratch, overlapping the next block's fetch with the
+    current block's compute (the guide's double-buffering pattern).
+  * **Ragged bound**: `n_past` rides in as a scalar-prefetch operand and caps
+    the scan at ceil((n_past + T) / BK) blocks — only the *valid* prefix of
+    the cache is ever read. The reference's GPU kernel does the same thing
+    with its historyLength loop bound (llama-vk.hlsl:529-580); a dense einsum
+    would stream all S slots every decode step.
+  * causal + cache-length masking, numerically-stable online softmax
+    (running max/sum), f32 accumulation, bf16 MXU operands.
+
+q: [B, T, H, D] (new queries), k/v: [B, H, S, D] (updated cache),
+n_past: scalar or [B] int32. Returns [B, T, H, D] f32.
+Requires S % block_k == 0 and n_past + T <= S (caller invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_backend import interpret_mode
+
+_NEG = -1e30
+
+
+def attention_ref(q, k, v, n_past):
+    """jnp reference (dense scores over the whole cache; parity oracle)."""
+    b, t, h, d = q.shape
+    s = k.shape[2]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    scores = (
+        jnp.einsum("bthd,bhsd->bhts", q.astype(k.dtype), k,
+                   preferred_element_type=jnp.float32)
+        * scale
+    )
+    jpos = jnp.arange(s)
+    npast_b = jnp.broadcast_to(jnp.asarray(n_past), (b,))
+    tpos = npast_b[:, None] + jnp.arange(t)[None, :]
+    mask = jpos[None, None, :] <= tpos[:, :, None]
+    scores = jnp.where(mask[:, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def _kernel(npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
+            block_t: int, block_k: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    tb = pl.program_id(2)
+    npast = npast_ref[b]
+    t0 = tb * block_t
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale  # [BT, D]
+    bt, d = q.shape
+
+    # rows of this block see cache positions [0, npast + t0 + BT - 1]
+    limit = npast + t0 + bt
+    nblocks = pl.cdiv(limit, block_k)
+
+    def k_dma(slot, i):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            kbuf.at[slot],
+            sems.at[0, slot],
+        )
+
+    def v_dma(slot, i):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            vbuf.at[slot],
+            sems.at[1, slot],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    row_pos = npast + t0 + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            k_dma(1 - slot, i + 1).start()
+            v_dma(1 - slot, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+
+        kk = kbuf[slot]  # [BK, D] storage dtype
+        s = jax.lax.dot_general(
+            q.astype(kk.dtype), kk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BT, BK]
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bt, block_k), 1)
+        s = jnp.where(col <= row_pos, s, _NEG)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vbuf.dtype), vbuf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BT, D]
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bt, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((bt, 1), jnp.float32)
+    a0 = jnp.zeros((bt, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, a0))
+    o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "block_k"))
+def flash_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, H, S, D]
+    v: jax.Array,  # [B, H, S, D]
+    n_past: jax.Array,  # scalar or [B] int32
+    block_t: int = 256,
+    block_k: int = 256,
+) -> jax.Array:
+    b, t, h, d = q.shape
+    s = k.shape[2]
+    bk = min(block_k, s)
+    assert s % bk == 0, (s, bk)
+    bt = min(block_t, t)
+    tpad = -(-t // bt) * bt
+    if tpad != t:
+        # pad queries; padded rows compute garbage rows that are sliced off
+        q = jnp.pad(q, ((0, 0), (0, tpad - t), (0, 0), (0, 0)))
+    npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
+
+    # heads-major query layout so the block's trailing dims are (BT, D) —
+    # Mosaic requires the last two block dims be (8k, 128k) or whole-dim
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, Tpad, D]
+
+    grid = (b, h, tpad // bt)
+    kernel = functools.partial(
+        _kernel, block_t=bt, block_k=bk, scale=1.0 / (d**0.5)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bk, d), k.dtype),
+                pltpu.VMEM((2, bk, d), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tpad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(npast_vec, qt, k, v)
+    return out.transpose(0, 2, 1, 3)[:, :t]

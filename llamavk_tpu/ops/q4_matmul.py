@@ -16,6 +16,7 @@ computes  y[b, n] = sum_k x[b, k] * W[k, n]   with W given by a QWeight.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,7 @@ def q4_matmul_ref(x: jax.Array, qw: QWeight, out_dtype=jnp.float32) -> jax.Array
     )
 
 
-def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str):
+def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32):
     """Fused dequant+matmul over one packed chunk.
 
     ilv layout: storage row r uses scales[r % G], so each G-row slice of the
@@ -62,18 +63,24 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str):
     processes one slice of storage rows per step (both nibbles of those
     bytes), needing no scale broadcast at all and bounding VMEM temporaries
     to O(G x BN) regardless of K (the w2 matmul has K = n_ff = 11008).
+
+    mul_dtype: precision of the nibble·scale product. The kernel is VPU-bound
+    on unpack arithmetic (the MXU is mostly idle at decode batch sizes), so
+    bf16 halves the per-weight convert/multiply cost; nibbles in [-8, 7] are
+    exact in bf16 and the rounding of q·s is within Q4's own quantization
+    noise.
     """
     x = x_ref[:]
     half = p_ref.shape[0]
     g = s_ref.shape[0]
-    s = s_ref[:].astype(jnp.float32)  # [G, BN]
+    s = s_ref[:].astype(mul_dtype)  # [G, BN]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     if layout == LAYOUT_ILV:
         m_steps = half // g  # = QK // 2
         for m in range(m_steps):
             p = p_ref[m * g : (m + 1) * g, :].astype(jnp.int32)
-            w_lo = (((p << 28) >> 28).astype(jnp.float32) * s).astype(jnp.bfloat16)
-            w_hi = ((p >> 4).astype(jnp.float32) * s).astype(jnp.bfloat16)
+            w_lo = (((p << 28) >> 28).astype(mul_dtype) * s).astype(jnp.bfloat16)
+            w_hi = ((p >> 4).astype(mul_dtype) * s).astype(jnp.bfloat16)
             acc += jnp.dot(
                 x[:, m * g : (m + 1) * g], w_lo, preferred_element_type=jnp.float32
             )
@@ -84,8 +91,8 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str):
             )
     else:
         p = p_ref[:].astype(jnp.int32)
-        hi = (p >> 4).astype(jnp.float32)
-        lo = ((p << 28) >> 28).astype(jnp.float32)
+        hi = (p >> 4).astype(mul_dtype)
+        lo = ((p << 28) >> 28).astype(mul_dtype)
         s_lo = jnp.repeat(s[: g // 2], QK, axis=0)
         s_hi = jnp.repeat(s[g // 2 :], QK, axis=0)
         w_lo = (lo * s_lo).astype(jnp.bfloat16)
@@ -99,7 +106,9 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _chunk_matmul(xc, packed, scales, bn: int, bb: int, layout: str, out_dtype):
+def _chunk_matmul(
+    xc, packed, scales, bn: int, bb: int, layout: str, out_dtype, mul_dtype
+):
     """One packed chunk: xc [BP, Kc] (storage order), packed [Kc/2, NP]."""
     bp, kc = xc.shape
     half, npad = packed.shape
@@ -111,7 +120,7 @@ def _chunk_matmul(xc, packed, scales, bn: int, bb: int, layout: str, out_dtype):
         transcendentals=0,
     )
     return pl.pallas_call(
-        functools.partial(_kernel_q4, layout=layout),
+        functools.partial(_kernel_q4, layout=layout, mul_dtype=mul_dtype),
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((bp, npad), out_dtype),
         in_specs=[
@@ -125,20 +134,50 @@ def _chunk_matmul(xc, packed, scales, bn: int, bb: int, layout: str, out_dtype):
     )(xc, packed, scales)
 
 
+# defaults tunable via env for end-to-end A/B runs (bench.py)
+_ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "512"))
+_ENV_MUL = (
+    jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
+)
+# scoped-VMEM budget per kernel instance (v5e exposes ~16 MB; leave headroom)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _fit_bn(bn: int, kc: int, g: int, bb: int) -> int:
+    """Shrink the N tile until the kernel's VMEM working set fits."""
+    def need(bn_):
+        packed = kc // 2 * bn_  # int8 tile
+        scales = g * bn_ * 4
+        x = bb * kc * 2
+        out = bb * bn_ * 4
+        temps = 4 * g * bn_ * 4  # unpack/scale intermediates (f32 worst case)
+        return packed + scales + x + out + temps
+
+    while bn > 128 and need(bn) > _VMEM_BUDGET:
+        bn //= 2
+    return bn
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_dtype", "block_n", "block_b", "use_ref")
+    jax.jit,
+    static_argnames=("out_dtype", "block_n", "block_b", "use_ref", "mul_dtype"),
 )
 def q4_matmul(
     x: jax.Array,
     qw: QWeight,
     out_dtype=jnp.bfloat16,
-    block_n: int = 512,
+    block_n: int | None = None,
     block_b: int = 256,
     use_ref: bool = False,
+    mul_dtype=None,
 ) -> jax.Array:
     """y = x @ W for a packed QWeight. x: [..., K] (any leading dims)."""
     if use_ref:
         return q4_matmul_ref(x, qw, out_dtype=out_dtype)
+    if block_n is None:
+        block_n = _ENV_BN
+    if mul_dtype is None:
+        mul_dtype = _ENV_MUL
     k, n, g = qw.k, qw.n, qw.g
     chunks = qw.chunks
     kc = k // chunks
@@ -159,8 +198,9 @@ def q4_matmul(
     # pad batch to a sublane multiple; pad N to a lane multiple
     bp = _round_up(max(b, 8), 8)
     bn = min(block_n, _round_up(n, 128))
-    npad = _round_up(n, bn)
     bb = min(block_b, bp)
+    bn = _fit_bn(bn, kc, g // chunks, bb)
+    npad = _round_up(n, bn)
     bp = _round_up(bp, bb)
     if bp != b:
         xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
@@ -180,6 +220,7 @@ def q4_matmul(
             bb,
             qw.layout,
             jnp.float32,
+            mul_dtype,
         )
         y = yc if y is None else y + yc
     y = y[:b, :n]

@@ -312,7 +312,7 @@ void lvk_repack_q4(const uint8_t* raw, int64_t n_rows, int64_t row_elems,
           for (int64_t col = 0; col < tw; ++col) {
             int lo = q[col * K + k_lo];
             int hi = q[col * K + k_hi];
-            dst[col] = static_cast<int8_t>((lo & 0xF) | (hi << 4));
+            dst[col] = static_cast<int8_t>((lo & 0xF) | ((hi & 0xF) << 4));
           }
         }
       }
@@ -356,7 +356,7 @@ void lvk_repack_q4_rows(const uint8_t* raw, int64_t n_rows, int64_t row_elems,
       for (int64_t i = 0; i < K / 2; ++i) {
         int lo = q[i];
         int hi = q[i + K / 2];
-        dst[i] = static_cast<int8_t>((lo & 0xF) | (hi << 4));
+        dst[i] = static_cast<int8_t>((lo & 0xF) | ((hi & 0xF) << 4));
       }
     }
   });

@@ -1,0 +1,76 @@
+"""Flash-attention kernel parity vs the dense jnp reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llamavk_tpu.ops.flash_attn import attention_ref, flash_attention
+
+
+def make_inputs(rng, b, t, h, s, d, n_valid):
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.zeros((b, h, s, d), jnp.bfloat16)
+    v = jnp.zeros((b, h, s, d), jnp.bfloat16)
+    # only the first n_valid + t positions hold real data (cache invariant)
+    kv_len = n_valid + t
+    k = k.at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.bfloat16)
+    )
+    v = v.at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.bfloat16)
+    )
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "b,t,h,s,d,n_past,bk",
+    [
+        (1, 1, 2, 64, 32, 17, 32),    # decode step, ragged bound mid-block
+        (1, 1, 2, 64, 32, 0, 32),     # first token
+        (2, 8, 2, 64, 32, 13, 32),    # small batch, multi-token
+        (1, 64, 2, 64, 64, 0, 32),    # full prefill, multiple q blocks
+        (1, 33, 2, 128, 32, 20, 64),  # unaligned T (query padding path)
+    ],
+)
+def test_flash_matches_reference(b, t, h, s, d, n_past, bk):
+    rng = np.random.default_rng(0)
+    q, k, v = make_inputs(rng, b, t, h, s, d, n_past)
+    ref = attention_ref(q, k, v, jnp.int32(n_past))
+    got = flash_attention(q, k, v, jnp.int32(n_past), block_t=32, block_k=bk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_vector_n_past():
+    # per-row positions (continuous batching)
+    rng = np.random.default_rng(1)
+    b, t, h, s, d = 3, 1, 2, 64, 32
+    n_past = jnp.asarray([5, 31, 0], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    ref = attention_ref(q, k, v, n_past)
+    got = flash_attention(q, k, v, n_past, block_t=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_ignores_cache_tail():
+    # poison the invalid cache tail with huge values: masking + the ragged
+    # bound must keep the result identical to a zero-tail cache
+    rng = np.random.default_rng(2)
+    b, t, h, s, d = 1, 4, 2, 128, 32
+    n_past = 10
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kv_len = n_past + t
+    k0 = jnp.zeros((b, h, s, d), jnp.bfloat16).at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.bfloat16)
+    )
+    v0 = jnp.zeros((b, h, s, d), jnp.bfloat16).at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.bfloat16)
+    )
+    big = jnp.full((b, h, s - kv_len, d), 1e4, jnp.bfloat16)
+    k1 = k0.at[:, :, kv_len:].set(big)
+    v1 = v0.at[:, :, kv_len:].set(big)
+    clean = flash_attention(q, k0, v0, jnp.int32(n_past), block_t=32, block_k=32)
+    poisoned = flash_attention(q, k1, v1, jnp.int32(n_past), block_t=32, block_k=32)
+    np.testing.assert_array_equal(np.asarray(clean), np.asarray(poisoned))

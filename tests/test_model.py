@@ -171,3 +171,22 @@ def test_dense_f32_model_close_to_numpy(tmp_path):
         dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(logits)[0], want, rtol=2e-4, atol=2e-4)
+
+
+def test_forward_flash_vs_einsum_attention(tiny):
+    """Both attention implementations must agree through the full model."""
+    import jax.numpy as jnp
+    from llamavk_tpu.models import init_kv_cache
+
+    path, _ = tiny
+    cfg, params, _tok = load_model(path, scale_dtype=jnp.float32)
+    toks = jnp.asarray([[3, 14, 15, 9, 2]], jnp.int32)
+    cache_a = init_kv_cache(cfg, 1, 32)
+    cache_b = init_kv_cache(cfg, 1, 32)
+    la, _, _ = llama_forward(
+        params, toks, cache_a, jnp.int32(0), cfg, logits_all=True, attn_impl="flash"
+    )
+    lb, _, _ = llama_forward(
+        params, toks, cache_b, jnp.int32(0), cfg, logits_all=True, attn_impl="einsum"
+    )
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=3e-2)

@@ -30,26 +30,30 @@ def make_qw(key, k, n, scale_dtype=jnp.bfloat16):
     return QWeight(packed=packed, scales=scales, bias=None, layout="ilv", chunks=1)
 
 
-def time_fn(fn, *args, iters=50, inner=10):
-    @partial(jax.jit, static_argnames=())
-    def loop(*a):
+def time_fn(fn, *args, lo=50, hi=250):
+    # Differential timing: the axon tunnel adds a large fixed per-dispatch
+    # cost, so run the op `lo` and `hi` times inside single jit programs and
+    # take the slope — fixed costs cancel. The carry perturbs the first input
+    # element so iterations are loop-carried (no hoisting/CSE).
+    @partial(jax.jit, static_argnames=("inner",))
+    def loop(x0, *a, inner):
         def body(c, _):
-            y = fn(*a)
-            # fold output back so XLA can't hoist the computation
-            return c + y.astype(jnp.float32).sum(), None
+            x = x0.at[(0,) * x0.ndim].add(c * 1e-6)
+            y = fn(x, *a)
+            return y.astype(jnp.float32).ravel()[0], None
         s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner))
         return s
 
-    loop(*args).block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters // 10):
-            s = loop(*args)
-        np.asarray(s)
-        dt = (time.perf_counter() - t0) / (inner * (iters // 10))
-        best = min(best, dt)
-    return best
+    def run(inner):
+        np.asarray(loop(*args, inner=inner))  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(*args, inner=inner))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (run(hi) - run(lo)) / (hi - lo)
 
 
 def main():
@@ -92,7 +96,14 @@ def main():
         return jnp.einsum("bhts,bhsd->bthd", p.astype(vc.dtype), vc, preferred_element_type=jnp.float32)
 
     dt = time_fn(attn, q, kc, vc)
-    log(f"attention [s={s}] {dt*1e6:9.1f} us/layer -> x32 = {dt*32*1e3:.2f} ms")
+    log(f"attention einsum [s={s}] {dt*1e6:9.1f} us/layer -> x32 = {dt*32*1e3:.2f} ms")
+
+    from llamavk_tpu.ops.flash_attn import flash_attention
+
+    for np_frac, label in [(s - 1, "full"), (s // 4, "quarter")]:
+        fa = lambda q_, k_, v_: flash_attention(q_, k_, v_, jnp.int32(np_frac))
+        dt = time_fn(fa, q, kc, vc)
+        log(f"flash attn [{label:7s}] {dt*1e6:9.1f} us/layer -> x32 = {dt*32*1e3:.2f} ms")
 
     # full forward for comparison
     params = synthetic_params(cfg, seed=0)
