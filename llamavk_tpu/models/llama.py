@@ -243,12 +243,23 @@ def llama_forward(
     b, t = tokens.shape
     h, d = cfg.n_head, cfg.head_dim
 
-    def _row_linear(xx, w):
+    def _linear_l(xx, w, l):
+        # stacked per-layer weight: QWeights stream layer l's tiles straight
+        # from the stacked HBM array inside the kernel (scalar-prefetch
+        # index_map). Letting lax.scan dynamic-slice the stacked weights
+        # instead costs a full HBM copy of every layer's packed weights
+        # (~5 ms/token on 7B, measured).
+        if isinstance(w, QWeight):
+            return q4_matmul(xx, w, layer_idx=l)
+        return _linear(xx, jax.lax.dynamic_index_in_dim(w, l, 0, keepdims=False))
+
+    def _row_linear_l(xx, w, l):
         # row-parallel weights were chunk-packed tp_size-ways globally; the
         # shard_map-local view is chunks/tp_size independent packings
         if isinstance(w, QWeight) and tp_size > 1:
             w = replace(w, chunks=max(1, w.chunks // tp_size))
-        return _linear(xx, w)
+        return _linear_l(xx, w, l)
+
     x = embed_tokens(params.tok_embeddings, tokens, dtype=dtype)  # [B, T, K]
 
     n_past = jnp.asarray(n_past)
@@ -256,28 +267,28 @@ def llama_forward(
     positions = (n_past[:, None] if vector_past else n_past) + jnp.arange(t)
     cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [(B,) T, D/2]
 
-    def layer_step(carry, layer_inputs):
+    lp = params.layers  # stacked weights, captured (NOT scan xs — see above)
+    fused = isinstance(lp, FusedLayerParams)
+
+    def layer_step(carry, l):
         # the full cache rides the carry so XLA updates it in place; only the
         # current layer's slice is read and only T new positions are written
         # (threading per-layer slices through scan xs/ys forced whole-cache
         # copies every step)
         x, ck, cv = carry
-        lp, l = layer_inputs
-        k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-        fused = isinstance(lp, FusedLayerParams)
         # --- attention block (llama.cpp:976-1070)
-        xa = rms_norm(x, lp.attn_norm, cfg.norm_eps)
+        attn_norm_l = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, False)
+        xa = rms_norm(x, attn_norm_l, cfg.norm_eps)
         if fused:
-            qkv = _linear(xa, lp.wqkv)
+            qkv = _linear_l(xa, lp.wqkv, l)
             e_loc = qkv.shape[-1] // 3
             q = qkv[..., :e_loc].reshape(b, t, -1, d)
             k = qkv[..., e_loc : 2 * e_loc].reshape(b, t, -1, d)
             v = qkv[..., 2 * e_loc :].reshape(b, t, -1, d)
         else:
-            q = _linear(xa, lp.wq).reshape(b, t, -1, d)  # local heads under TP
-            k = _linear(xa, lp.wk).reshape(b, t, -1, d)
-            v = _linear(xa, lp.wv).reshape(b, t, -1, d)
+            q = _linear_l(xa, lp.wq, l).reshape(b, t, -1, d)  # local heads under TP
+            k = _linear_l(xa, lp.wk, l).reshape(b, t, -1, d)
+            v = _linear_l(xa, lp.wv, l).reshape(b, t, -1, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
         k_w = k.swapaxes(1, 2)  # [B, H, T, D]
@@ -287,53 +298,46 @@ def llama_forward(
             rows = jnp.arange(b)[:, None]  # [B, 1]
             cols = n_past[:, None] + jnp.arange(t)[None, :]  # [B, T]
             # advanced indices separated by a slice land in front: [B, T, H, D]
-            k_l = k_l.at[rows, :, cols].set(k.astype(k_l.dtype))
-            v_l = v_l.at[rows, :, cols].set(v.astype(v_l.dtype))
-            ck = jax.lax.dynamic_update_index_in_dim(ck, k_l, l, 0)
-            cv = jax.lax.dynamic_update_index_in_dim(cv, v_l, l, 0)
+            ck = ck.at[l, rows, :, cols].set(k.astype(ck.dtype))
+            cv = cv.at[l, rows, :, cols].set(v.astype(cv.dtype))
         else:
-            k_l = jax.lax.dynamic_update_slice(
-                k_l, k_w.astype(k_l.dtype), (0, 0, n_past, 0)
-            )
-            v_l = jax.lax.dynamic_update_slice(
-                v_l, v_w.astype(v_l.dtype), (0, 0, n_past, 0)
-            )
-            # write back only the T new positions of this layer
+            # write only the T new positions of this layer
             ck = jax.lax.dynamic_update_slice(
                 ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0)
             )
             cv = jax.lax.dynamic_update_slice(
                 cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
             )
-        # "auto" (measured on v5e): decode (T=1) einsum attention runs at HBM
-        # roofline (~930 GB/s effective) and beats the Pallas kernel's
-        # per-head DMA loop; prefill (T>1) uses the flash kernel, which never
-        # materializes the [B,H,T,S] score tensor the einsum path would.
-        impl = attn_impl
-        if impl == "auto":
-            impl = "einsum" if t == 1 else "flash"
+        # Flash (default) reads layer l of the STACKED cache in-kernel — no
+        # per-layer cache slice copy, and the ragged n_past bound reads only
+        # the valid prefix. The einsum path (numerics oracle) pays a
+        # dynamic-slice copy of the whole layer slab.
+        impl = "flash" if attn_impl == "auto" else attn_impl
         if impl == "flash":
-            attn = flash_attention(q, k_l, v_l, n_past)
+            attn = flash_attention(q, ck, cv, n_past, layer_idx=l)
         else:
+            k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
             attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
         attn = attn.reshape(b, t, -1).astype(dtype)
-        wo_out = _row_linear(attn, lp.wo)
+        wo_out = _row_linear_l(attn, lp.wo, l)
         if tp_axis is not None:
             wo_out = jax.lax.psum(wo_out, tp_axis)
         x = x + wo_out
         # --- FFN block (llama.cpp:1073-1101)
-        xf = rms_norm(x, lp.ffn_norm, cfg.norm_eps)
+        ffn_norm_l = jax.lax.dynamic_index_in_dim(lp.ffn_norm, l, 0, False)
+        xf = rms_norm(x, ffn_norm_l, cfg.norm_eps)
         if fused:
-            gu = _linear(xf, lp.w13)
+            gu = _linear_l(xf, lp.w13, l)
             f_loc = gu.shape[-1] // 2
             gate, up = gu[..., :f_loc], gu[..., f_loc:]
         else:
-            gate = _linear(xf, lp.w1)
-            up = _linear(xf, lp.w3)
+            gate = _linear_l(xf, lp.w1, l)
+            up = _linear_l(xf, lp.w3, l)
         act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
             dtype
         )
-        w2_out = _row_linear(act, lp.w2)
+        w2_out = _row_linear_l(act, lp.w2, l)
         if tp_axis is not None:
             w2_out = jax.lax.psum(w2_out, tp_axis)
         x = x + w2_out
@@ -350,7 +354,7 @@ def llama_forward(
     (x, new_k, new_v), layer_acts = jax.lax.scan(
         layer_step,
         (x, cache.k, cache.v),
-        (params.layers, jnp.arange(n_layers, dtype=jnp.int32)),
+        jnp.arange(n_layers, dtype=jnp.int32),
     )
 
     xn = rms_norm(x, params.norm, cfg.norm_eps)

@@ -57,11 +57,12 @@ def attention_ref(q, k, v, n_past):
     return out
 
 
-def _kernel(npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
+def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
             block_t: int, block_k: int, scale: float):
     b = pl.program_id(0)
     h = pl.program_id(1)
     tb = pl.program_id(2)
+    layer = idx_ref[0]
     npast = npast_ref[b]
     t0 = tb * block_t
 
@@ -74,14 +75,14 @@ def _kernel(npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 
     def k_dma(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            k_hbm.at[layer, b, h, pl.ds(i * block_k, block_k), :],
             kbuf.at[slot],
             sems.at[0, slot],
         )
 
     def v_dma(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(i * block_k, block_k), :],
+            v_hbm.at[layer, b, h, pl.ds(i * block_k, block_k), :],
             vbuf.at[slot],
             sems.at[1, slot],
         )
@@ -134,14 +135,22 @@ def _kernel(npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 @functools.partial(jax.jit, static_argnames=("block_t", "block_k"))
 def flash_attention(
     q: jax.Array,  # [B, T, H, D]
-    k: jax.Array,  # [B, H, S, D]
-    v: jax.Array,  # [B, H, S, D]
+    k: jax.Array,  # [B, H, S, D] — or STACKED [L, B, H, S, D] with layer_idx
+    v: jax.Array,  # like k
     n_past: jax.Array,  # scalar or [B] int32
     block_t: int = 256,
     block_k: int = 256,
+    layer_idx: jax.Array | None = None,
 ) -> jax.Array:
+    """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
+    DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
+    lax.scan dynamic-slice would materialize."""
+    if layer_idx is None:
+        k = k[None]
+        v = v[None]
+        layer_idx = jnp.int32(0)
     b, t, h, d = q.shape
-    s = k.shape[2]
+    s = k.shape[3]
     bk = min(block_k, s)
     assert s % bk == 0, (s, bk)
     bt = min(block_t, t)
@@ -162,7 +171,7 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -187,5 +196,5 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(npast_vec, qt, k, v)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec, qt, k, v)
     return out.transpose(0, 2, 1, 3)[:, :t]

@@ -106,6 +106,73 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _kernel_q4_stacked(idx_ref, x_ref, p_ref, s_ref, o_ref, *, layout, mul_dtype):
+    """Stacked-weight kernel body: weight/output refs carry a leading
+    singleton layer dim (the index_map already selected layer idx_ref[0]);
+    delegate to the flat kernel through sub-refs."""
+    del idx_ref
+    _kernel_q4(
+        x_ref, p_ref.at[0], s_ref.at[0], o_ref.at[0],
+        layout=layout, mul_dtype=mul_dtype,
+    )
+
+
+def _chunk_matmul_stacked(
+    xc, packed, scales, layer_idx, c: int, bn: int, bb: int, layout, out_dtype,
+    mul_dtype,
+):
+    """One packed chunk of a STACKED weight [L, K/2, N], layer chosen by a
+    scalar-prefetch index inside the BlockSpec index_map.
+
+    This is the reason decode reaches HBM roofline: a `lax.scan` over layers
+    that slices the stacked array with dynamic-slice makes XLA materialize a
+    full copy of every layer's packed weights before each kernel (measured
+    ~5 ms/token on 7B — a third of the step). Indexing in the index_map
+    streams tiles straight from the stacked array instead.
+    """
+    bp, kc = xc.shape
+    L, half_full, npad = packed.shape
+    g_full = scales.shape[1]
+    half = kc // 2
+    g = kc // QK
+    grid = (bp // bb, npad // bn)
+    cost = pl.CostEstimate(
+        flops=2 * bp * kc * npad,
+        bytes_accessed=half * npad + 2 * g * npad + 2 * bp * kc + 4 * bp * npad,
+        transcendentals=0,
+    )
+    # block indices are in units of the block shape; chunk c's rows start at
+    # element c*half = block index c (block dim = half), same for scales
+    return pl.pallas_call(
+        functools.partial(_kernel_q4_stacked, layout=layout, mul_dtype=mul_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (bb, kc), lambda i, j, idx: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, half, bn),
+                    lambda i, j, idx: (idx[0], c, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, g, bn),
+                    lambda i, j, idx: (idx[0], c, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bb, bn), lambda i, j, idx: (0, i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, bp, npad), out_dtype),
+        cost_estimate=cost,
+        interpret=interpret_mode(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xc, packed, scales)[0]
+
+
 def _chunk_matmul(
     xc, packed, scales, bn: int, bb: int, layout: str, out_dtype, mul_dtype
 ):
@@ -170,15 +237,31 @@ def q4_matmul(
     block_b: int = 256,
     use_ref: bool = False,
     mul_dtype=None,
+    layer_idx: jax.Array | None = None,
 ) -> jax.Array:
-    """y = x @ W for a packed QWeight. x: [..., K] (any leading dims)."""
+    """y = x @ W for a packed QWeight. x: [..., K] (any leading dims).
+
+    layer_idx: when given, qw's leaves are STACKED over a leading layer dim
+    ([L, K/2, N] / [L, G, N]) and the kernel streams layer `layer_idx`'s
+    tiles directly from the stacked arrays (no dynamic-slice copy — see
+    _chunk_matmul_stacked)."""
     if use_ref:
+        if layer_idx is not None:
+            qw = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, False), qw
+            )
         return q4_matmul_ref(x, qw, out_dtype=out_dtype)
     if block_n is None:
         block_n = _ENV_BN
     if mul_dtype is None:
         mul_dtype = _ENV_MUL
-    k, n, g = qw.k, qw.n, qw.g
+    stacked = layer_idx is not None
+    if stacked:
+        k = 2 * qw.packed.shape[-2]
+        n = qw.packed.shape[-1]
+        g = qw.scales.shape[-2]
+    else:
+        k, n, g = qw.k, qw.n, qw.g
     chunks = qw.chunks
     kc = k // chunks
     lead = x.shape[:-1]
@@ -186,6 +269,56 @@ def q4_matmul(
     for d in lead:
         b *= d
     xf = x.reshape(b, k).astype(jnp.bfloat16)
+
+    if stacked:
+        # the stacked path tiles N without padding; need a lane-aligned tile
+        # that divides N exactly (true for every LLaMA matmul width)
+        bp = _round_up(max(b, 8), 8)
+        bb = min(block_b, bp)
+        bn = _fit_bn(min(block_n, n), kc, g // chunks, bb)
+        while bn >= 128 and (n % bn or bn % 128):
+            bn -= 128
+        if bn < 128:
+            # fall back: slice this layer out and use the flat path
+            qw = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, False), qw
+            )
+            stacked = False
+        else:
+            xg = (
+                _group_sums(xf.astype(jnp.float32), k).astype(jnp.bfloat16)
+                if qw.bias is not None
+                else None
+            )
+            if qw.layout == LAYOUT_ILV:
+                xf = to_ilv(xf, k, chunks)
+            bp_pad = _round_up(bp, bb)
+            if bp_pad != b:
+                xf = jnp.pad(xf, ((0, bp_pad - b), (0, 0)))
+            gc = g // chunks
+            y = None
+            for c in range(chunks):
+                yc = _chunk_matmul_stacked(
+                    xf[:, c * kc : (c + 1) * kc],
+                    qw.packed,
+                    qw.scales,
+                    layer_idx,
+                    c,
+                    bn,
+                    bb,
+                    qw.layout,
+                    jnp.float32,
+                    mul_dtype,
+                )
+                y = yc if y is None else y + yc
+            y = y[:b]
+            if qw.bias is not None:
+                bias_l = jax.lax.dynamic_index_in_dim(qw.bias, layer_idx, 0, False)
+                y = y + jnp.dot(
+                    xg[:b], bias_l.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            return y.astype(out_dtype).reshape(*lead, n)
 
     xg = (
         _group_sums(xf.astype(jnp.float32), k).astype(jnp.bfloat16)
