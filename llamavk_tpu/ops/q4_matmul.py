@@ -333,6 +333,14 @@ def q4_matmul(
     bn = min(block_n, _round_up(n, 128))
     bb = min(block_b, bp)
     bn = _fit_bn(bn, kc, g // chunks, bb)
+    # prefer a tile that divides N exactly: XLA otherwise pads the packed
+    # weight + scales on every call (measured ~0.45 ms/token on the 32000-wide
+    # logits matmul, which 512 does not divide)
+    bn_div = bn
+    while bn_div >= 128 and (n % bn_div or bn_div % 128):
+        bn_div -= 128
+    if bn_div >= 128:
+        bn = bn_div
     npad = _round_up(n, bn)
     bp = _round_up(bp, bb)
     if bp != b:

@@ -146,6 +146,11 @@ class Engine:
 
     def eval(self, tokens: list[int] | np.ndarray, logits_all: bool = False):
         """Evaluate tokens at the current position; returns logits [T or 1, V]."""
+        if self.n_past + len(tokens) > self.ecfg.n_ctx:
+            raise ValueError(
+                f"context overflow: n_past({self.n_past}) + n_tokens({len(tokens)})"
+                f" > n_ctx({self.ecfg.n_ctx})"
+            )
         t0 = time.perf_counter()
         toks = jnp.asarray(np.asarray(tokens, np.int32))[None]
         logits, self.cache, self._last_emb = self._prefill(
