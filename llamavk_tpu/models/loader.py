@@ -136,13 +136,28 @@ def params_from_reader(
     shardings=None,
     tp: int = 1,
     fuse: bool = True,
+    progress_callback=None,
 ) -> tuple[ModelConfig, LlamaParams]:
     """Build the device param pytree. `shardings`: optional dict mapping
     tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding.
     `tp` > 1 chunk-packs row-parallel weights for a tp-way mesh axis.
-    `fuse` concatenates wq|wk|wv and w1|w3 (fewer, larger kernel launches)."""
+    `fuse` concatenates wq|wk|wv and w1|w3 (fewer, larger kernel launches).
+    `progress_callback(frac)` is invoked per layer (llama_progress_callback
+    parity, llama.h:48/62-65)."""
     cfg = ModelConfig.from_hparams(reader.hparams)
     sh = shardings or {}
+
+    # memory-requirements report (llama_model_load_internal's budget print,
+    # llama.cpp:809-827): packed weights ≈ nibbles/2 + scales
+    total_bytes = sum(t.nbytes for t in reader.tensors.values())
+    import sys as _sys
+
+    print(
+        f"llamavk: model {cfg.type_name}: n_vocab={cfg.n_vocab} n_embd={cfg.n_embd}"
+        f" n_layer={cfg.n_layer} n_head={cfg.n_head} n_ff={cfg.n_ff};"
+        f" checkpoint {total_bytes / 1e9:.2f} GB",
+        file=_sys.stderr,
+    )
 
     def rp(name: str, kind: str):
         return _read_packed(
@@ -154,6 +169,8 @@ def params_from_reader(
 
     layers = []
     for i in range(cfg.n_layer):
+        if progress_callback is not None:
+            progress_callback(i / cfg.n_layer)
         p = f"layers.{i}."
         fused_qkv = fused_13 = None
         if fuse:

@@ -216,3 +216,39 @@ def test_migrate_from_ggmf(tmp_path):
     pth = ggml_to_pth(out, str(tmp_path / "model.pth"))
     sd = torch.load(pth, weights_only=True)
     np.testing.assert_array_equal(sd["tok_embeddings.weight"].numpy(), arr)
+
+
+def test_gpt4all_converter(tmp_path):
+    """v0 'ggml' file without scores + tokenizer.model → scored GGJT."""
+    import struct
+
+    import numpy as np
+
+    from llamavk_tpu.convert.gpt4all import convert_gpt4all
+    from llamavk_tpu.convert.spm_reader import write_spm_model
+    from llamavk_tpu.formats.ggml_io import CheckpointReader
+
+    n_vocab = 8
+    # hand-build an unversioned 'ggml' v0 file: no version, no vocab scores
+    buf = struct.pack("<I", 0x67676D6C)
+    buf += struct.pack("<7I", n_vocab, 16, 2, 2, 1, 8, 0)  # hparams
+    for i in range(n_vocab):
+        text = f"p{i}".encode()
+        buf += struct.pack("<I", len(text)) + text
+    data = np.arange(16, dtype=np.float32)
+    name = b"norm.weight"
+    buf += struct.pack("<III", 1, len(name), 0) + struct.pack("<I", 16) + name
+    buf += data.tobytes()
+    src = tmp_path / "gpt4all.bin"
+    src.write_bytes(buf)
+
+    spm = tmp_path / "tokenizer.model"
+    write_spm_model(str(spm), [(f"p{i}", -float(i), 1) for i in range(n_vocab)])
+
+    out = tmp_path / "out.bin"
+    convert_gpt4all(str(src), str(spm), str(out))
+
+    r = CheckpointReader(str(out))
+    assert [t.score for t in r.vocab] == [-float(i) for i in range(n_vocab)]
+    assert [t.text for t in r.vocab] == [f"p{i}".encode() for i in range(n_vocab)]
+    np.testing.assert_array_equal(r.load_f32("norm.weight"), data)
