@@ -59,15 +59,20 @@ def attention_ref(q, k, v, n_past):
 
 def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
             block_t: int, block_k: int, scale: float):
+    """One program: HG heads x BT queries against the ragged cache prefix.
+
+    HG > 1 (decode) makes each DMA HG x (BK x D) — per-program DMA startup
+    latency amortizes over 8x the bytes, which is what batched decode needs
+    (256 tiny per-head programs were latency-bound)."""
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    hb = pl.program_id(1)
     tb = pl.program_id(2)
     layer = idx_ref[0]
     npast = npast_ref[b]
     t0 = tb * block_t
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale  # [BT, D]
-    bt, d = q.shape
+    q = q_ref[0].astype(jnp.float32) * scale  # [HG, BT, D]
+    hg, bt, d = q.shape
 
     # rows of this block see cache positions [0, npast + t0 + BT - 1]
     limit = npast + t0 + bt
@@ -75,14 +80,14 @@ def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 
     def k_dma(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[layer, b, h, pl.ds(i * block_k, block_k), :],
+            k_hbm.at[layer, b, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
             kbuf.at[slot],
             sems.at[0, slot],
         )
 
     def v_dma(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[layer, b, h, pl.ds(i * block_k, block_k), :],
+            v_hbm.at[layer, b, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
             vbuf.at[slot],
             sems.at[1, slot],
         )
@@ -90,7 +95,7 @@ def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
     k_dma(0, 0).start()
     v_dma(0, 0).start()
 
-    row_pos = npast + t0 + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+    row_pos = npast + t0 + jax.lax.broadcasted_iota(jnp.int32, (1, bt, 1), 1)
 
     def body(i, carry):
         m, l, acc = carry
@@ -104,13 +109,13 @@ def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
         k_dma(slot, i).wait()
         v_dma(slot, i).wait()
 
-        kk = kbuf[slot]  # [BK, D] storage dtype
+        kk = kbuf[slot]  # [HG, BK, D] storage dtype
         s = jax.lax.dot_general(
             q.astype(kk.dtype), kk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [BT, BK]
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bt, block_k), 1)
+        )  # [HG, BT, BK]
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, bt, block_k), 2)
         s = jnp.where(col <= row_pos, s, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -119,20 +124,22 @@ def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vbuf.dtype), vbuf[slot],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [BT, D]
+        )  # [HG, BT, D]
         acc_new = acc * alpha + pv
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((bt, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((bt, 1), jnp.float32)
-    a0 = jnp.zeros((bt, d), jnp.float32)
+    m0 = jnp.full((hg, bt, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((hg, bt, 1), jnp.float32)
+    a0 = jnp.zeros((hg, bt, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, a0))
-    o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "block_k"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_k", "heads_per_program")
+)
 def flash_attention(
     q: jax.Array,  # [B, T, H, D]
     k: jax.Array,  # [B, H, S, D] — or STACKED [L, B, H, S, D] with layer_idx
@@ -141,6 +148,7 @@ def flash_attention(
     block_t: int = 256,
     block_k: int = 256,
     layer_idx: jax.Array | None = None,
+    heads_per_program: int | None = None,
 ) -> jax.Array:
     """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
     DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
@@ -160,11 +168,21 @@ def flash_attention(
         q = jnp.pad(q, ((0, 0), (0, tpad - t), (0, 0), (0, 0)))
     npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
 
+    # heads per program: decode (small q tiles) groups heads so each DMA
+    # moves HG x BK x D bytes; prefill keeps one head per program (its q/score
+    # tiles are already large)
+    hg = heads_per_program
+    if hg is None:
+        hg = 8 if bt <= 16 else 1
+    while h % hg:
+        hg //= 2
+    hg = max(hg, 1)
+
     # heads-major query layout so the block's trailing dims are (BT, D) —
     # Mosaic requires the last two block dims be (8k, 128k) or whole-dim
     qt = q.transpose(0, 2, 1, 3)  # [B, H, Tpad, D]
 
-    grid = (b, h, tpad // bt)
+    grid = (b, h // hg, tpad // bt)
     kernel = functools.partial(
         _kernel, block_t=bt, block_k=bk, scale=1.0 / (d**0.5)
     )
@@ -175,19 +193,19 @@ def flash_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
+                    (1, hg, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
+                (1, hg, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, bk, d), k.dtype),
-                pltpu.VMEM((2, bk, d), v.dtype),
+                pltpu.VMEM((2, hg, bk, d), k.dtype),
+                pltpu.VMEM((2, hg, bk, d), v.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
