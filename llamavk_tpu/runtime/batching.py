@@ -207,11 +207,16 @@ class BatchedEngine:
         active = [s for s in self.slots if s is not None]
         if not active:
             return []
-        # cap block so no active request overshoots its budget or the context
-        live = [r for r in active if not r.done]
-        budget = min((r.n_predict - len(r.generated) for r in live), default=1)
-        room = min(budget, self.bcfg.n_ctx - 1 - int(self.n_past.max()))
-        n_steps = max(1, min(self.bcfg.block, room))
+        # n_steps is a STATIC arg of the jitted decode block: every distinct
+        # value compiles a fresh program (~40 s on a 7B), so never derive it
+        # from per-request budgets — run power-of-two blocks (at most
+        # log2(block)+1 compiled variants, from the context-room clamp) and
+        # discard per-request overshoot below. A request that finishes
+        # mid-block frees its slot; its extra KV writes sit beyond the slot's
+        # n_past and are never attended.
+        room = self.bcfg.n_ctx - 1 - int(self.n_past.max())
+        n_steps = min(self.bcfg.block, max(1, room))
+        n_steps = 1 << (n_steps.bit_length() - 1)  # snap down to a power of 2
         t0 = time.perf_counter()
         toks, self.cache, last, self.keys = self._decode(
             self.params,

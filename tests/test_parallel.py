@@ -83,3 +83,21 @@ def test_tp_decode_consistency(tiny_path):
     got, _, _ = fwd(params_tp, jnp.asarray(toks[:, 4:]), cache2, jnp.int32(4))
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=6e-2)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host helpers (a pod run is just
+    N of these processes; the sharding math must degenerate cleanly)."""
+    import jax
+
+    from llamavk_tpu.parallel import multihost
+
+    devs = multihost.local_devices_first()
+    assert set(devs) == set(jax.devices())
+    assert devs[: len(jax.local_devices())] == jax.local_devices()
+
+    items = list(range(10))
+    assert multihost.host_shard(items) == items  # 1 process -> everything
+    # explicit 3-way layout check
+    assert multihost.host_shard(items, process_id=1) == items[1::1]
+    multihost.shutdown()  # no-op when not initialized

@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)
-    ap.add_argument("--block", type=int, default=16)
+    ap.add_argument("--block", type=int, default=32)
     args = ap.parse_args()
 
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
@@ -44,17 +44,32 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    t_submit = time.perf_counter()
+
+    def make_load(n):
+        out = []
+        for i in range(n):
+            plen = int(rng.integers(8, 128))
+            npred = int(rng.integers(32, 160))
+            prompt = rng.integers(10, cfg.n_vocab - 10, plen).tolist()
+            out.append((prompt, plen, npred, i))
+        return out
+
+    # warmup: compile every prefill bucket + the decode block once (a serving
+    # process compiles exactly once per shape; measure steady state)
+    log("warmup (jit compilation) ...")
+    t0 = time.perf_counter()
+    for plen in (7, 15, 31, 63, 127):
+        eng.submit(list(range(10, 10 + plen)), 2, sp=SamplerParams(temp=0.8))
+    eng.run()
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
     reqs = []
-    for i in range(args.requests):
-        plen = int(rng.integers(8, 128))
-        npred = int(rng.integers(32, 160))
-        prompt = rng.integers(10, cfg.n_vocab - 10, plen).tolist()
+    load = make_load(args.requests)
+    t0 = time.perf_counter()
+    for prompt, plen, npred, i in load:
         r = eng.submit(prompt, npred, sp=SamplerParams(temp=0.8), seed=i)
         reqs.append((r, plen, npred))
-
     log(f"{args.requests} requests submitted; running scheduler ...")
-    t0 = time.perf_counter()
     done = eng.run()
     wall = time.perf_counter() - t0
 
@@ -65,12 +80,17 @@ def main():
         f" {gen} generated tokens ({gen / wall:.1f} tok/s aggregate),"
         f" {prompt_toks} prompt tokens prefilled"
     )
+    st = eng.stats
+    log(
+        f"stats: decode {st['t_decode']:.1f}s over {st['steps']} scan-steps"
+        f" ({st['steps'] and st['t_decode']/st['steps']*1e3:.1f} ms/step),"
+        f" {st['prefills']} prefills; non-decode wall {wall - st['t_decode']:.1f}s"
+    )
     print(
         f'{{"metric": "LLaMA-{args.model} Q4_0 continuous-batching serving throughput",'
         f' "value": {gen / wall:.2f}, "unit": "generated tok/s",'
         f' "requests": {len(done)}, "max_batch": {args.max_batch}}}'
     )
-    del t_submit
 
 
 if __name__ == "__main__":
