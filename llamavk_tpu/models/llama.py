@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats.ggml_io import Hparams
-from ..ops.flash_attn import flash_attention
+from ..ops.flash_attn import flash_attention, flash_attention_update
 from ..ops.norms import rms_norm
 from ..ops.q4_matmul import q4_matmul
 from ..ops.qweight import QWeight
@@ -291,34 +291,47 @@ def llama_forward(
             v = _linear_l(xa, lp.wv, l).reshape(b, t, -1, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
-        k_w = k.swapaxes(1, 2)  # [B, H, T, D]
-        v_w = v.swapaxes(1, 2)
-        if vector_past:
-            # per-row write offsets: scatter at [l, b, :, n_past[b] + i]
-            rows = jnp.arange(b)[:, None]  # [B, 1]
-            cols = n_past[:, None] + jnp.arange(t)[None, :]  # [B, T]
-            # advanced indices separated by a slice land in front: [B, T, H, D]
-            ck = ck.at[l, rows, :, cols].set(k.astype(ck.dtype))
-            cv = cv.at[l, rows, :, cols].set(v.astype(cv.dtype))
-        else:
-            # write only the T new positions of this layer
-            ck = jax.lax.dynamic_update_slice(
-                ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
-            )
-        # Flash (default) reads layer l of the STACKED cache in-kernel — no
-        # per-layer cache slice copy, and the ragged n_past bound reads only
-        # the valid prefix. The einsum path (numerics oracle) pays a
-        # dynamic-slice copy of the whole layer slab.
+        # Flash (default): ONE kernel writes the new K/V rows into layer l of
+        # the stacked cache (aliased, in place) and attends over the ragged
+        # valid prefix — no per-layer cache slice copies, no XLA update ops
+        # (per-slot update chains dominated batched decode). The einsum path
+        # (numerics oracle) updates via XLA and pays the slice copies.
         impl = "flash" if attn_impl == "auto" else attn_impl
-        if impl == "flash":
-            attn = flash_attention(q, ck, cv, n_past, layer_idx=l)
+        if impl == "flash" and t % min(256, t) == 0:
+            attn, ck, cv = flash_attention_update(q, k, v, ck, cv, n_past, l)
         else:
-            k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-            v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-            attn = _attention(q, k_l, v_l, n_past)  # [B, T, H_local, D] f32
+            k_w = k.swapaxes(1, 2)  # [B, H, T, D]
+            v_w = v.swapaxes(1, 2)
+            if vector_past:
+                # per-row write offsets: one dynamic_update_slice per batch
+                # row (static unroll). An advanced-index scatter here lowers
+                # to an XLA scatter over the whole multi-GB cache — measured
+                # 20x slower per decode step on v5e.
+                for bi in range(b):
+                    ck = jax.lax.dynamic_update_slice(
+                        ck,
+                        k_w[bi : bi + 1][None].astype(ck.dtype),
+                        (l, bi, 0, n_past[bi], 0),
+                    )
+                    cv = jax.lax.dynamic_update_slice(
+                        cv,
+                        v_w[bi : bi + 1][None].astype(cv.dtype),
+                        (l, bi, 0, n_past[bi], 0),
+                    )
+            else:
+                # write only the T new positions of this layer
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
+                )
+            if impl == "flash":
+                attn = flash_attention(q, ck, cv, n_past, layer_idx=l)
+            else:
+                k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+                v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
+                attn = _attention(q, k_l, v_l, n_past)  # [B,T,H,D] f32
         attn = attn.reshape(b, t, -1).astype(dtype)
         wo_out = _row_linear_l(attn, lp.wo, l)
         if tp_axis is not None:

@@ -57,7 +57,84 @@ def attention_ref(q, k, v, n_past):
     return out
 
 
+def _kernel_update(idx_ref, npast_ref, q_ref, knew_ref, vnew_ref, k_in, v_in,
+                   o_ref, k_out, v_out, kbuf, vbuf, sems, kwin, vwin, wsems, *,
+                   block_t: int, block_k: int, scale: float):
+    """Fused cache-write + attention: merge this program's new K/V rows into
+    the aliased cache at positions [n_past[b]+t0, +BT), then attend over the
+    updated prefix — the design of the reference's attention shader, which
+    also writes K,V to its cache slot in-kernel (llama-vk.hlsl:343-699).
+    Removes every XLA-level cache-update op from the step (the per-slot
+    dynamic_update_slice chain dominated batched decode).
+
+    The write position is arbitrary but the cache memref is (8,128)-tiled, so
+    the write is a read-modify-write of the containing 8-aligned window: DMA
+    the window in, merge the new rows at the (dynamic, <8) offset via a
+    static-offset switch, DMA it back. Grid programs touch disjoint (b, head
+    range) slices except consecutive t-blocks' shared boundary tile, which is
+    safe because the t dimension is sequential ('arbitrary' semantics)."""
+    del k_in, v_in  # aliased with k_out/v_out; all access goes through *_out
+    b = pl.program_id(0)
+    hb = pl.program_id(1)
+    tb = pl.program_id(2)
+    layer = idx_ref[0]
+    npast = npast_ref[b]
+    t0 = tb * block_t
+    hg, bt = knew_ref.shape[1], knew_ref.shape[2]
+    w = kwin.shape[1]  # window rows: round_up(bt + 7, 8)
+    s_total = k_out.shape[3]
+
+    start = npast + t0
+    win0 = jnp.minimum((start // 8) * 8, s_total - w)
+    win0 = pl.multiple_of(win0, 8)
+    off = start - win0  # in [0, 8) normally; larger only when clamped at end
+
+    def win_dma(src_out, buf, sem):
+        return pltpu.make_async_copy(
+            src_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
+            buf,
+            sem,
+        )
+
+    kr = win_dma(k_out, kwin, wsems.at[0])
+    vr = win_dma(v_out, vwin, wsems.at[1])
+    kr.start()
+    vr.start()
+    kr.wait()
+    vr.wait()
+
+    def merge(o):
+        def _do():
+            kwin[:, o : o + bt, :] = knew_ref[0]
+            vwin[:, o : o + bt, :] = vnew_ref[0]
+        return _do
+
+    # off is dynamic but bounded: static-slice merge selected by switch
+    jax.lax.switch(off, [merge(o) for o in range(w - bt + 1)])
+
+    kw = pltpu.make_async_copy(
+        kwin, k_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
+        wsems.at[0],
+    )
+    vw = pltpu.make_async_copy(
+        vwin, v_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
+        wsems.at[1],
+    )
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+    _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
+            block_t=block_t, block_k=block_k, scale=scale)
+
+
 def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
+            block_t: int, block_k: int, scale: float):
+    _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
+            block_t=block_t, block_k=block_k, scale=scale)
+
+
+def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
             block_t: int, block_k: int, scale: float):
     """One program: HG heads x BT queries against the ragged cache prefix.
 
@@ -216,3 +293,101 @@ def flash_attention(
         interpret=interpret_mode(),
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec, qt, k, v)
     return out.transpose(0, 2, 1, 3)[:, :t]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_k", "heads_per_program")
+)
+def flash_attention_update(
+    q: jax.Array,  # [B, T, H, D]
+    k_new: jax.Array,  # [B, T, H, D] (RoPE'd K rows to cache)
+    v_new: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # STACKED cache [L, B, H, S, D]
+    v: jax.Array,
+    n_past: jax.Array,  # scalar or [B] int32
+    layer_idx: jax.Array,
+    block_t: int = 256,
+    block_k: int = 256,
+    heads_per_program: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused cache update + attention: writes the T new K/V rows at
+    [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
+    attends. Returns (out [B,T,H,D] f32, k, v) with k/v updated in place.
+    Requires T % block_t == 0 so no query-padding rows write garbage."""
+    b, t, h, d = q.shape
+    s = k.shape[3]
+    bk = min(block_k, s)
+    assert s % bk == 0, (s, bk)
+    bt = min(block_t, t)
+    assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
+    assert s % 8 == 0, s
+    wwin = min(-(-(bt + 7) // 8) * 8, s)  # RMW window rows (8-aligned)
+    npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
+
+    hg = heads_per_program
+    if hg is None:
+        hg = 8 if bt <= 16 else 1
+    while h % hg:
+        hg //= 2
+    hg = max(hg, 1)
+
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
+    knt = k_new.transpose(0, 2, 1, 3).astype(k.dtype)
+    vnt = v_new.transpose(0, 2, 1, 3).astype(v.dtype)
+
+    grid = (b, h // hg, t // bt)
+    kernel = functools.partial(
+        _kernel_update, block_t=bt, block_k=bk, scale=1.0 / (d**0.5)
+    )
+    blk = pl.BlockSpec(
+        (1, hg, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out, k, v = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                blk,  # q
+                blk,  # k_new
+                blk,  # v_new
+                pl.BlockSpec(memory_space=pl.ANY),  # k cache (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),  # v cache (aliased)
+            ],
+            out_specs=[
+                blk,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, hg, bk, d), k.dtype),
+                pltpu.VMEM((2, hg, bk, d), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((hg, wwin, d), k.dtype),
+                pltpu.VMEM((hg, wwin, d), v.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        # flattened input positions: 0=layer_idx, 1=npast, 2=q, 3=k_new,
+        # 4=v_new, 5=k cache, 6=v cache → outputs 1, 2
+        input_output_aliases={5: 1, 6: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode(),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        npast_vec,
+        qt,
+        knt,
+        vnt,
+        k,
+        v,
+    )
+    return out.transpose(0, 2, 1, 3), k, v

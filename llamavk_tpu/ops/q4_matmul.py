@@ -70,7 +70,11 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32
     exact in bf16 and the rounding of q·s is within Q4's own quantization
     noise.
     """
-    x = x_ref[:]
+    # dot dtype: bf16 casts the dequantized weight for the MXU (1 extra VPU
+    # op/weight); f32 feeds the f32 product straight in (matmuls here are far
+    # from MXU-bound at decode batch sizes)
+    dot_dtype = jnp.float32 if _ENV_DOT == "f32" else jnp.bfloat16
+    x = x_ref[:].astype(dot_dtype)
     half = p_ref.shape[0]
     g = s_ref.shape[0]
     s = s_ref[:].astype(mul_dtype)  # [G, BN]
@@ -79,8 +83,8 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32
         m_steps = half // g  # = QK // 2
         for m in range(m_steps):
             p = p_ref[m * g : (m + 1) * g, :].astype(jnp.int32)
-            w_lo = (((p << 28) >> 28).astype(mul_dtype) * s).astype(jnp.bfloat16)
-            w_hi = ((p >> 4).astype(mul_dtype) * s).astype(jnp.bfloat16)
+            w_lo = (((p << 28) >> 28).astype(mul_dtype) * s).astype(dot_dtype)
+            w_hi = ((p >> 4).astype(mul_dtype) * s).astype(dot_dtype)
             acc += jnp.dot(
                 x[:, m * g : (m + 1) * g], w_lo, preferred_element_type=jnp.float32
             )
@@ -95,8 +99,8 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32
         lo = ((p << 28) >> 28).astype(mul_dtype)
         s_lo = jnp.repeat(s[: g // 2], QK, axis=0)
         s_hi = jnp.repeat(s[g // 2 :], QK, axis=0)
-        w_lo = (lo * s_lo).astype(jnp.bfloat16)
-        w_hi = (hi * s_hi).astype(jnp.bfloat16)
+        w_lo = (lo * s_lo).astype(dot_dtype)
+        w_hi = (hi * s_hi).astype(dot_dtype)
         acc = jnp.dot(x[:, :half], w_lo, preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(x[:, half:], w_hi, preferred_element_type=jnp.float32)
     o_ref[:] = acc.astype(o_ref.dtype)
@@ -206,6 +210,7 @@ _ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "512"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
 )
+_ENV_DOT = os.environ.get("LLAMAVK_Q4_DOT", "bf16")
 # scoped-VMEM budget per kernel instance (v5e exposes ~16 MB; leave headroom)
 _VMEM_BUDGET = 10 * 1024 * 1024
 

@@ -74,3 +74,36 @@ def test_flash_ignores_cache_tail():
     clean = flash_attention(q, k0, v0, jnp.int32(n_past), block_t=32, block_k=32)
     poisoned = flash_attention(q, k1, v1, jnp.int32(n_past), block_t=32, block_k=32)
     np.testing.assert_array_equal(np.asarray(clean), np.asarray(poisoned))
+
+
+def test_flash_update_matches_manual_update():
+    """Fused in-kernel cache write + attention vs XLA update + dense ref."""
+    from llamavk_tpu.ops.flash_attn import flash_attention_update
+
+    rng = np.random.default_rng(5)
+    L, b, t, h, s, d = 3, 2, 4, 2, 64, 32
+    n_past = jnp.asarray([10, 3], jnp.int32)
+    layer = jnp.int32(1)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((L, b, h, s, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, b, h, s, d)), jnp.bfloat16)
+
+    # manual: write rows per batch then dense-reference attention on layer 1
+    kc_ref, vc_ref = np.asarray(kc).copy(), np.asarray(vc).copy()
+    for bi in range(b):
+        p = int(n_past[bi])
+        kc_ref[1, bi, :, p : p + t] = np.asarray(k_new)[bi].transpose(1, 0, 2)
+        vc_ref[1, bi, :, p : p + t] = np.asarray(v_new)[bi].transpose(1, 0, 2)
+    want = attention_ref(
+        q, jnp.asarray(kc_ref[1]), jnp.asarray(vc_ref[1]), n_past
+    )
+
+    out, kc2, vc2 = flash_attention_update(
+        q, k_new, v_new, kc, vc, n_past, layer, block_t=4, block_k=32
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-2, atol=2e-2)
+    # cache rows written exactly; other layers untouched
+    np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
+    np.testing.assert_array_equal(np.asarray(vc2), vc_ref)

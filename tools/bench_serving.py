@@ -62,6 +62,7 @@ def main():
         eng.submit(list(range(10, 10 + plen)), 2, sp=SamplerParams(temp=0.8))
     eng.run()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+    eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0)
 
     reqs = []
     load = make_load(args.requests)
