@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ..formats.ggml_io import Hparams
 from ..ops.flash_attn import flash_attention, flash_attention_update
 from ..ops.norms import rms_norm
+from ..ops.pallas_backend import interpret_mode
 from ..ops.q4_matmul import q4_matmul
 from ..ops.qweight import QWeight
 from ..ops.rope import apply_rope, rope_cos_sin
@@ -297,6 +298,10 @@ def llama_forward(
         # (per-slot update chains dominated batched decode). The einsum path
         # (numerics oracle) updates via XLA and pays the slice copies.
         impl = "flash" if attn_impl == "auto" else attn_impl
+        if impl == "flash" and not interpret_mode() and d % 128 != 0:
+            # Mosaic DMA slices need 128-lane-aligned head_dim on real TPUs;
+            # every LLaMA family model has d=128, only toy configs fall back
+            impl = "einsum"
         if impl == "flash" and t % min(256, t) == 0:
             attn, ck, cv = flash_attention_update(q, k, v, ck, cv, n_past, l)
         else:
