@@ -226,6 +226,8 @@ def llama_forward(
     dtype=jnp.bfloat16,
     tp_axis: str | None = None,
     tp_size: int = 1,
+    pp_axis: str | None = None,
+    pp_size: int = 1,
     attn_impl: str = "auto",
     collect_acts: bool = False,
 ) -> tuple[jax.Array, KVCache, jax.Array]:
@@ -271,7 +273,8 @@ def llama_forward(
     lp = params.layers  # stacked weights, captured (NOT scan xs — see above)
     fused = isinstance(lp, FusedLayerParams)
 
-    def layer_step(carry, l):
+    def make_layer_step(commit):
+      def layer_step(carry, l):
         # the full cache rides the carry so XLA updates it in place; only the
         # current layer's slice is read and only T new positions are written
         # (threading per-layer slices through scan xs/ys forced whole-cache
@@ -303,34 +306,39 @@ def llama_forward(
             # every LLaMA family model has d=128, only toy configs fall back
             impl = "einsum"
         if impl == "flash" and t % min(256, t) == 0:
-            attn, ck, cv = flash_attention_update(q, k, v, ck, cv, n_past, l)
+            attn, ck, cv = flash_attention_update(
+                q, k, v, ck, cv, n_past, l, commit=commit
+            )
         else:
             k_w = k.swapaxes(1, 2)  # [B, H, T, D]
             v_w = v.swapaxes(1, 2)
+            def gated_dus(buf, upd, start):
+                # commit=False (pp idle hop): re-write the existing rows
+                if commit is not True:
+                    old = jax.lax.dynamic_slice(buf, start, upd.shape)
+                    upd = jnp.where(commit, upd, old)
+                return jax.lax.dynamic_update_slice(buf, upd, start)
+
             if vector_past:
                 # per-row write offsets: one dynamic_update_slice per batch
                 # row (static unroll). An advanced-index scatter here lowers
                 # to an XLA scatter over the whole multi-GB cache — measured
                 # 20x slower per decode step on v5e.
                 for bi in range(b):
-                    ck = jax.lax.dynamic_update_slice(
+                    ck = gated_dus(
                         ck,
                         k_w[bi : bi + 1][None].astype(ck.dtype),
                         (l, bi, 0, n_past[bi], 0),
                     )
-                    cv = jax.lax.dynamic_update_slice(
+                    cv = gated_dus(
                         cv,
                         v_w[bi : bi + 1][None].astype(cv.dtype),
                         (l, bi, 0, n_past[bi], 0),
                     )
             else:
                 # write only the T new positions of this layer
-                ck = jax.lax.dynamic_update_slice(
-                    ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0)
-                )
-                cv = jax.lax.dynamic_update_slice(
-                    cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0)
-                )
+                ck = gated_dus(ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0))
+                cv = gated_dus(cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0))
             if impl == "flash":
                 attn = flash_attention(q, ck, cv, n_past, layer_idx=l)
             else:
@@ -368,12 +376,32 @@ def llama_forward(
         )
         return (x, ck, cv), acts
 
-    n_layers = cache.k.shape[0]
-    (x, new_k, new_v), layer_acts = jax.lax.scan(
-        layer_step,
-        (x, cache.k, cache.v),
-        jnp.arange(n_layers, dtype=jnp.int32),
-    )
+      return layer_step
+
+    n_layers = cache.k.shape[0]  # LOCAL layers (pp shard when pp_size > 1)
+    layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
+    if pp_axis is None:
+        (x, new_k, new_v), layer_acts = jax.lax.scan(
+            make_layer_step(True), (x, cache.k, cache.v), layer_ids
+        )
+    else:
+        # pipeline-parallel ring (stage s holds layers [s*Ll, (s+1)*Ll) and
+        # its cache shard): the activation hops stages via ppermute; stage s
+        # does its real work at hop s and commits cache writes only then.
+        # This is the un-microbatched schedule — correct, compiles the ICI
+        # collectives; utilization comes from batching over dp.
+        stage = jax.lax.axis_index(pp_axis)
+        new_k, new_v = cache.k, cache.v
+        layer_acts = None
+        ring = [(i, (i + 1) % pp_size) for i in range(pp_size)]
+        for hop in range(pp_size):
+            step = make_layer_step(stage == hop)
+            (x, new_k, new_v), _ = jax.lax.scan(step, (x, new_k, new_v), layer_ids)
+            x = jax.lax.ppermute(x, pp_axis, ring)
+        # the fully-processed activation now sits on stage 0: broadcast it
+        x = jax.lax.psum(
+            jnp.where(stage == 0, x, jnp.zeros_like(x)), pp_axis
+        )
 
     xn = rms_norm(x, params.norm, cfg.norm_eps)
     embeddings = xn[:, -1, :].astype(jnp.float32)

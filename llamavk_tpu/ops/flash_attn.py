@@ -57,9 +57,9 @@ def attention_ref(q, k, v, n_past):
     return out
 
 
-def _kernel_update(idx_ref, npast_ref, q_ref, knew_ref, vnew_ref, k_in, v_in,
-                   o_ref, k_out, v_out, kbuf, vbuf, sems, kwin, vwin, wsems, *,
-                   block_t: int, block_k: int, scale: float):
+def _kernel_update(idx_ref, npast_ref, commit_ref, q_ref, knew_ref, vnew_ref,
+                   k_in, v_in, o_ref, k_out, v_out, kbuf, vbuf, sems, kwin,
+                   vwin, wsems, *, block_t: int, block_k: int, scale: float):
     """Fused cache-write + attention: merge this program's new K/V rows into
     the aliased cache at positions [n_past[b]+t0, +BT), then attend over the
     updated prefix — the design of the reference's attention shader, which
@@ -103,10 +103,18 @@ def _kernel_update(idx_ref, npast_ref, q_ref, knew_ref, vnew_ref, k_in, v_in,
     kr.wait()
     vr.wait()
 
+    # commit gate (pipeline-parallel ring: non-active stages rewrite the
+    # window unchanged — see models/llama.py pp schedule)
+    commit = commit_ref[0] != 0
+
     def merge(o):
         def _do():
-            kwin[:, o : o + bt, :] = knew_ref[0]
-            vwin[:, o : o + bt, :] = vnew_ref[0]
+            kwin[:, o : o + bt, :] = jnp.where(
+                commit, knew_ref[0], kwin[:, o : o + bt, :]
+            )
+            vwin[:, o : o + bt, :] = jnp.where(
+                commit, vnew_ref[0], vwin[:, o : o + bt, :]
+            )
         return _do
 
     # off is dynamic but bounded: static-slice merge selected by switch
@@ -309,11 +317,13 @@ def flash_attention_update(
     block_t: int = 256,
     block_k: int = 256,
     heads_per_program: int | None = None,
+    commit: jax.Array | bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
     attends. Returns (out [B,T,H,D] f32, k, v) with k/v updated in place.
-    Requires T % block_t == 0 so no query-padding rows write garbage."""
+    Requires T % block_t == 0 so no query-padding rows write garbage.
+    `commit=False` leaves the cache unchanged (pipeline-parallel idle hops)."""
     b, t, h, d = q.shape
     s = k.shape[3]
     bk = min(block_k, s)
@@ -346,7 +356,7 @@ def flash_attention_update(
     out, k, v = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 blk,  # q
@@ -374,9 +384,9 @@ def flash_attention_update(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
-        # flattened input positions: 0=layer_idx, 1=npast, 2=q, 3=k_new,
-        # 4=v_new, 5=k cache, 6=v cache → outputs 1, 2
-        input_output_aliases={5: 1, 6: 2},
+        # flattened input positions: 0=layer_idx, 1=npast, 2=commit, 3=q,
+        # 4=k_new, 5=v_new, 6=k cache, 7=v cache → outputs 1, 2
+        input_output_aliases={6: 1, 7: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -384,6 +394,7 @@ def flash_attention_update(
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         npast_vec,
+        jnp.asarray(commit, jnp.int32).reshape(1),
         qt,
         knt,
         vnt,

@@ -44,7 +44,7 @@ def _weight_pspec(kind: str, w, stacked: bool):
     """Pytree of PartitionSpecs matching a Weight (QWeight or dense array)."""
     spec = KIND_PSPECS[kind]
     if stacked:
-        spec = P(None, *spec)
+        spec = P("pp", *spec)  # layer dim over pipeline stages (size-1 = no-op)
     if isinstance(w, QWeight):
         return QWeight(
             packed=spec, scales=spec, bias=None if w.bias is None else spec,
@@ -56,7 +56,7 @@ def _weight_pspec(kind: str, w, stacked: bool):
 def param_pspecs(params: LlamaParams) -> LlamaParams:
     """PartitionSpec pytree with the same structure as the params."""
     norm1 = P(None)
-    normL = P(None, None)
+    normL = P("pp", None)
     emb = params.tok_embeddings
     if isinstance(emb, QEmbedding):
         emb_spec = QEmbedding(
@@ -98,8 +98,8 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
 
 
 def cache_pspec() -> KVCache:
-    """KV cache [L, B, H, S, D]: batch on dp, heads on tp."""
-    s = P(None, "dp", "tp", None, None)
+    """KV cache [L, B, H, S, D]: layers on pp, batch on dp, heads on tp."""
+    s = P("pp", "dp", "tp", None, None)
     return KVCache(k=s, v=s)
 
 

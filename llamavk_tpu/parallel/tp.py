@@ -29,11 +29,13 @@ def make_sharded_forward(
     cspec = cache_pspec()
 
     tp_size = mesh.shape["tp"]
+    pp_size = mesh.shape.get("pp", 1)
 
     def fwd(p, tokens, cache, n_past):
         logits, new_cache, emb = llama_forward(
             p, tokens, cache, n_past, cfg,
             logits_all=logits_all, tp_axis="tp", tp_size=tp_size,
+            pp_axis="pp" if pp_size > 1 else None, pp_size=pp_size,
         )
         return logits, new_cache, emb
 

@@ -101,3 +101,62 @@ def test_multihost_helpers_single_process():
     # explicit 3-way layout check
     assert multihost.host_shard(items, process_id=1) == items[1::1]
     multihost.shutdown()  # no-op when not initialized
+
+
+@pytest.mark.parametrize("pp,tp,dp", [(2, 1, 1), (2, 2, 1), (4, 1, 1), (2, 2, 2)])
+def test_pp_forward_matches_single(tiny_path, pp, tp, dp):
+    """Pipeline-parallel ring (layers staged over 'pp') matches single-device."""
+    reader = CheckpointReader(tiny_path)
+    cfg, params1 = params_from_reader(reader, scale_dtype=jnp.float32)
+    _, params_pp = params_from_reader(reader, scale_dtype=jnp.float32, tp=tp)
+    if cfg.n_layer % pp != 0:
+        pytest.skip("pp does not divide n_layer")
+
+    b = max(dp, 2)
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.n_vocab, (b, 4)).astype(np.int32)
+
+    cache1 = init_kv_cache(cfg, b, 8)
+    want, want_cache, _ = llama_forward(
+        params1, jnp.asarray(tokens), cache1, jnp.int32(0), cfg
+    )
+
+    n = pp * tp * dp
+    mesh = make_mesh(tp=tp, dp=dp, pp=pp, devices=jax.devices()[:n])
+    params_pp = shard_params(params_pp, mesh)
+    cache = shard_cache(init_kv_cache(cfg, b, 8), mesh)
+    fwd = make_sharded_forward(cfg, params_pp, mesh)
+    got, new_cache, _ = fwd(params_pp, jnp.asarray(tokens), cache, jnp.int32(0))
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=6e-2
+    )
+    # cache writes must be committed exactly once per stage (per-layer K rows
+    # equal the single-device cache when tp == 1 keeps head order identical)
+    if tp == 1:
+        np.testing.assert_allclose(
+            np.asarray(new_cache.k), np.asarray(want_cache.k), rtol=5e-2, atol=6e-2
+        )
+
+
+def test_pp_decode_steps(tiny_path):
+    """Multi-step decode through the pp ring stays consistent with 1-device."""
+    pp = 2
+    reader = CheckpointReader(tiny_path)
+    cfg, params1 = params_from_reader(reader, scale_dtype=jnp.float32)
+    _, params_pp = params_from_reader(reader, scale_dtype=jnp.float32)
+    mesh = make_mesh(tp=1, dp=1, pp=pp, devices=jax.devices()[:pp])
+    params_pp = shard_params(params_pp, mesh)
+    cache_pp = shard_cache(init_kv_cache(cfg, 1, 8), mesh)
+    fwd = make_sharded_forward(cfg, params_pp, mesh)
+
+    cache1 = init_kv_cache(cfg, 1, 8)
+    toks = jnp.asarray([[7, 3]], jnp.int32)
+    want, cache1, _ = llama_forward(params1, toks, cache1, jnp.int32(0), cfg)
+    got, cache_pp, _ = fwd(params_pp, toks, cache_pp, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-2, atol=6e-2)
+
+    nxt = jnp.asarray([[int(np.argmax(np.asarray(want)[0, -1]))]], jnp.int32)
+    want2, _, _ = llama_forward(params1, nxt, cache1, jnp.int32(2), cfg)
+    got2, _, _ = fwd(params_pp, nxt, cache_pp, jnp.int32(2))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=5e-2, atol=6e-2)
