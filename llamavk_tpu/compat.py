@@ -73,12 +73,16 @@ def llama_mlock_supported() -> bool:  # llama.h:73
 def llama_init_from_file(path: str, params: llama_context_params | None = None):
     """llama_init_from_file (llama.h:78-80)."""
     p = params or llama_context_default_params()
+    import time as _time
+
+    n_parts = None if p.n_parts < 0 else p.n_parts
     if p.vocab_only:
         from .formats.ggml_io import CheckpointReader
 
-        reader = CheckpointReader(path, None if p.n_parts < 0 else p.n_parts)
+        reader = CheckpointReader(path, n_parts)
         return llama_context(engine=None, tokenizer=Tokenizer(reader.vocab), params=p)
-    cfg, model_params, tok = load_model(path)
+    t0 = _time.perf_counter()
+    cfg, model_params, tok = load_model(path, n_parts=n_parts)
     eng = Engine(
         cfg,
         model_params,
@@ -88,9 +92,7 @@ def llama_init_from_file(path: str, params: llama_context_params | None = None):
             seed=p.seed,
         ),
     )
-    import time as _time
-
-    eng.timings.t_load_us = 0.0  # populated by caller-visible wall clock below
+    eng.timings.t_load_us = (_time.perf_counter() - t0) * 1e6
     return llama_context(engine=eng, tokenizer=tok, params=p)
 
 

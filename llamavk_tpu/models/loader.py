@@ -145,6 +145,13 @@ def params_from_reader(
     `progress_callback(frac)` is invoked per layer (llama_progress_callback
     parity, llama.h:48/62-65)."""
     cfg = ModelConfig.from_hparams(reader.hparams)
+    # trust the tensors over the n_mult-derived n_ff (a checkpoint written
+    # with a free-standing FFN width is otherwise mis-reported)
+    w1 = reader.tensors.get("layers.0.feed_forward.w1.weight")
+    if w1 is not None and w1.ne[1] != cfg.n_ff:
+        from dataclasses import replace as _replace
+
+        cfg = _replace(cfg, n_ff=int(w1.ne[1]))
     sh = shardings or {}
 
     # memory-requirements report (llama_model_load_internal's budget print,
@@ -220,8 +227,10 @@ def params_from_reader(
     return cfg, params
 
 
-def load_model(path: str, **kw) -> tuple[ModelConfig, LlamaParams, Tokenizer]:
-    reader = CheckpointReader(path)
+def load_model(
+    path: str, n_parts: int | None = None, **kw
+) -> tuple[ModelConfig, LlamaParams, Tokenizer]:
+    reader = CheckpointReader(path, n_parts)
     cfg, params = params_from_reader(reader, **kw)
     return cfg, params, Tokenizer(reader.vocab)
 

@@ -36,6 +36,17 @@ from .pallas_backend import interpret_mode
 _NEG = -1e30
 
 
+def _fit_block_k(block_k: int, s: int) -> int:
+    """Largest KV block <= block_k that divides s (8-row aligned); arbitrary
+    n_ctx values work instead of asserting on non-multiples of 256."""
+    bk = min(block_k, s)
+    while bk > 8 and s % bk:
+        bk -= 8
+    if s % bk:
+        raise ValueError(f"KV cache length {s} must be a multiple of 8")
+    return bk
+
+
 def attention_ref(q, k, v, n_past):
     """jnp reference (dense scores over the whole cache; parity oracle)."""
     b, t, h, d = q.shape
@@ -159,8 +170,11 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
     q = q_ref[0].astype(jnp.float32) * scale  # [HG, BT, D]
     hg, bt, d = q.shape
 
-    # rows of this block see cache positions [0, npast + t0 + BT - 1]
-    limit = npast + t0 + bt
+    # rows of this block see cache positions [0, npast + t0 + BT - 1];
+    # clamp to the cache extent — query-padding rows (tpad > t) would
+    # otherwise push the DMA bound past the last cache row (OOB read)
+    s_total = k_hbm.shape[3]
+    limit = jnp.minimum(npast + t0 + bt, s_total)
     nblocks = pl.cdiv(limit, block_k)
 
     def k_dma(slot, i):
@@ -244,8 +258,7 @@ def flash_attention(
         layer_idx = jnp.int32(0)
     b, t, h, d = q.shape
     s = k.shape[3]
-    bk = min(block_k, s)
-    assert s % bk == 0, (s, bk)
+    bk = _fit_block_k(block_k, s)
     bt = min(block_t, t)
     tpad = -(-t // bt) * bt
     if tpad != t:
@@ -326,11 +339,10 @@ def flash_attention_update(
     `commit=False` leaves the cache unchanged (pipeline-parallel idle hops)."""
     b, t, h, d = q.shape
     s = k.shape[3]
-    bk = min(block_k, s)
-    assert s % bk == 0, (s, bk)
+    bk = _fit_block_k(block_k, s)
     bt = min(block_t, t)
     assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
-    assert s % 8 == 0, s
+    assert s % 8 == 0, f"KV cache length must be a multiple of 8, got {s}"
     wwin = min(-(-(bt + 7) // 8) * 8, s)  # RMW window rows (8-aligned)
     npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
 

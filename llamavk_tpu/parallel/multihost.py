@@ -29,8 +29,8 @@ def initialize(
     With no arguments, relies on the TPU environment's auto-detection
     (megascale / GKE metadata); arguments override for manual clusters.
     """
-    if jax.process_count() > 1 or jax.distributed.is_initialized():
-        return
+    if jax.distributed.is_initialized():
+        return  # (checked first: jax.process_count() would init local backends)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -91,7 +91,7 @@ class BatchedEngine:
             )
             return logits[0, last_idx, :], cache1
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(jax.jit, donate_argnums=(0, 1))
         def _insert_slot(cache, cache1, slot):
             k = jax.lax.dynamic_update_slice(
                 cache.k, cache1.k, (0, slot, 0, 0, 0)
@@ -170,7 +170,8 @@ class BatchedEngine:
             w = self.bcfg.repeat_last_n
             hist = req.prompt[-w:]
             self.last_window[slot] = -1
-            self.last_window[slot, -len(hist):] = hist
+            if hist:
+                self.last_window[slot, -len(hist):] = hist
             sp = req.sp
             self.top_p[slot] = sp.top_p
             self.temp[slot] = sp.temp

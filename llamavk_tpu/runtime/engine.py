@@ -145,22 +145,31 @@ class Engine:
     # --- eval (llama_eval parity) ---------------------------------------
 
     def eval(self, tokens: list[int] | np.ndarray, logits_all: bool = False):
-        """Evaluate tokens at the current position; returns logits [T or 1, V]."""
-        if self.n_past + len(tokens) > self.ecfg.n_ctx:
+        """Evaluate tokens at the current position; returns logits [T or 1, V].
+
+        A final sampled token from a previous generate() is in self.tokens but
+        not yet in the KV cache (the reference leaves it pending in `embd` the
+        same way, main.cpp loop); it is prepended and evaluated here."""
+        backlog = self.tokens[self.n_past :]
+        new_toks = [int(t) for t in np.asarray(tokens)]
+        full = list(backlog) + new_toks
+        if self.n_past + len(full) > self.ecfg.n_ctx:
             raise ValueError(
-                f"context overflow: n_past({self.n_past}) + n_tokens({len(tokens)})"
+                f"context overflow: n_past({self.n_past}) + n_tokens({len(full)})"
                 f" > n_ctx({self.ecfg.n_ctx})"
             )
         t0 = time.perf_counter()
-        toks = jnp.asarray(np.asarray(tokens, np.int32))[None]
+        toks = jnp.asarray(np.asarray(full, np.int32))[None]
         logits, self.cache, self._last_emb = self._prefill(
             self.params, toks, self.cache, jnp.int32(self.n_past), logits_all=logits_all
         )
         logits = np.asarray(logits)[0]
-        self.n_past += len(tokens)
-        self.tokens.extend(int(t) for t in np.asarray(tokens))
+        if logits_all and backlog:
+            logits = logits[len(backlog) :]
+        self.n_past += len(full)
+        self.tokens.extend(new_toks)
         self.timings.t_prompt_us += (time.perf_counter() - t0) * 1e6
-        self.timings.n_prompt += len(tokens)
+        self.timings.n_prompt += len(full)
         return logits
 
     def get_embeddings(self) -> np.ndarray:
@@ -185,11 +194,19 @@ class Engine:
         assert self.n_past + len(prompt_tokens) + n_predict <= self.ecfg.n_ctx, (
             "context overflow; use ContextManager for infinite generation"
         )
-        w = sp.repeat_last_n
-        last = np.full(w, -1, np.int32)
-        hist = (self.tokens + list(prompt_tokens))[-w:]
-        if hist:
-            last[-len(hist):] = hist
+        if sp.repeat_last_n <= 0:
+            # penalty disabled (reference semantics for repeat_last_n=0):
+            # keep a 1-slot dummy window and neutralize the penalty factor
+            from dataclasses import replace as _replace
+
+            sp = _replace(sp, repeat_last_n=1, repeat_penalty=1.0)
+            last = np.full(1, -1, np.int32)
+        else:
+            w = sp.repeat_last_n
+            last = np.full(w, -1, np.int32)
+            hist = (self.tokens + list(prompt_tokens))[-w:]
+            if hist:
+                last[-len(hist):] = hist
         last_tokens = jnp.asarray(last)
 
         logits = self.eval(prompt_tokens)
@@ -202,17 +219,27 @@ class Engine:
         t0 = time.perf_counter()
         n_eval = 0
         stop = False
-        while True:
-            out.append(tok)
-            self.tokens.append(tok)
-            if on_token is not None and not on_token(tok):
+
+        def surface(t: int) -> bool:
+            """Append one sampled token; returns True if generation must stop."""
+            nonlocal stop
+            out.append(t)
+            self.tokens.append(t)
+            if on_token is not None and not on_token(t):
                 stop = True
-            if not ignore_eos and tok == eos_id:
+            if not ignore_eos and t == eos_id:
                 stop = True
-            remaining = n_predict - len(out)
-            if stop or remaining <= 0:
-                break
-            n = min(self.ecfg.decode_block, remaining)
+            return stop or len(out) >= n_predict
+
+        surface(tok)  # first token, sampled on host from prefill logits
+        while not stop and len(out) < n_predict:
+            # n_steps is STATIC in the jitted block: snap to a power of two
+            # (bounded program variants) and discard overshoot, instead of
+            # compiling a fresh ~40s program per residual budget
+            n_req = min(self.ecfg.decode_block, n_predict - len(out))
+            n = min(1 << (n_req - 1).bit_length(), self.ecfg.decode_block)
+            while n > self.ecfg.n_ctx - self.n_past:
+                n //= 2
             toks, cache, last_tokens, key = self._decode_block(
                 self.params,
                 jnp.int32(tok),
@@ -224,24 +251,21 @@ class Engine:
                 n,
             )
             block = [int(t) for t in np.asarray(toks)]
-            # truncate at the first eos (tokens after it were speculative)
-            if not ignore_eos and eos_id in block:
-                block = block[: block.index(eos_id) + 1]
-            n_eval += len(block)
-            self.n_past += len(block)
-            # surface all but the final token; the final one loops back as tok
-            for t in block[:-1]:
-                out.append(t)
-                self.tokens.append(t)
-                if on_token is not None and not on_token(t):
-                    stop = True
-                if not ignore_eos and t == eos_id:
-                    stop = True
-            tok = block[-1]
-            if stop:
-                out.append(tok)
-                self.tokens.append(tok)
-                break
+            # consume until eos / callback-stop / budget; overshoot beyond the
+            # stop point is speculative device work and is discarded (its KV
+            # rows sit past n_past and are overwritten before being attended)
+            consumed = 0
+            for t in block:
+                consumed += 1
+                if surface(t):
+                    break
+            n_eval += consumed
+            # feeding tok evaluated it; of the consumed samples all but the
+            # last are also evaluated -> n_past advances by `consumed`; the
+            # final sample stays pending (eval() backlogs it, like the
+            # reference's embd carry-over)
+            self.n_past += consumed
+            tok = block[consumed - 1]
         self.cache, self.key = cache, key
         self.timings.t_eval_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_eval += n_eval

@@ -110,3 +110,56 @@ def test_eos_stops(engine):
 def test_timings_report(engine):
     rep = engine.timings.report()
     assert "eval" in rep
+
+
+def test_pending_token_evaluated_on_next_turn(engine):
+    """generate()'s final sampled token must enter the context before the
+    next eval (multi-turn parity with the reference's embd carry-over)."""
+    engine.reset()
+    out = engine.generate([5, 9], 4, GREEDY, ignore_eos=True)
+    assert len(out) == 4
+    # last token is pending: context count lags the token list by one
+    assert len(engine.tokens) == engine.n_past + 1
+    engine.eval([30])
+    # backlog evaluated together with the new token
+    assert engine.n_past == len(engine.tokens)
+
+
+def test_multi_turn_matches_single_shot(engine):
+    """Two-turn generate must produce the same tokens as one straight-line
+    greedy decode (catches missing pending-token evaluation)."""
+    engine.reset()
+    a = engine.generate([5, 9], 3, GREEDY, ignore_eos=True)
+    b = engine.generate([7], 3, GREEDY, ignore_eos=True)
+
+    engine.reset()
+    # replay: single pass over the same sequence of context tokens
+    ref_ids = [5, 9] + a + [7]
+    logits = engine.eval(ref_ids)
+    import numpy as np
+
+    first = int(np.argmax(logits[-1]))
+    assert b[0] == first
+
+
+def test_repeat_last_n_zero(engine):
+    """repeat_last_n=0 disables the penalty window (llama.cpp semantics)."""
+    engine.reset()
+    out = engine.generate(
+        [5, 9, 2], 4, SamplerParams(temp=0.0, repeat_last_n=0), ignore_eos=True
+    )
+    assert len(out) == 4
+
+
+def test_on_token_stops_immediately(engine):
+    """on_token returning False must stop the stream at that token."""
+    engine.reset()
+    seen = []
+
+    def cb(t):
+        seen.append(t)
+        return len(seen) < 3  # stop after the 3rd token
+
+    out = engine.generate([5, 9], 12, GREEDY, on_token=cb, ignore_eos=True)
+    assert len(seen) == 3
+    assert out == seen
