@@ -37,6 +37,11 @@ constexpr int Q4_1_BLOCK_BYTES = 8 + 16;  // f32 d + f32 m + 16 nibble bytes
 
 int default_threads() {
   unsigned n = std::thread::hardware_concurrency();
+  if (n <= 1) {
+    // some containers report 1 (or 0) here; trust the scheduler instead
+    long sc = sysconf(_SC_NPROCESSORS_ONLN);
+    if (sc > 0) n = static_cast<unsigned>(sc);
+  }
   return n == 0 ? 4 : static_cast<int>(n);
 }
 
