@@ -190,3 +190,49 @@ def test_forward_flash_vs_einsum_attention(tiny):
         params, toks, cache_b, jnp.int32(0), cfg, logits_all=True, attn_impl="einsum"
     )
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=3e-2)
+
+
+def test_commit_gating_preserves_cache(tiny):
+    """commit=False hops (pipeline-parallel idle stages) must leave the cache
+    bit-identical on every write path (fused kernel + gated DUS)."""
+    import jax.numpy as jnp
+    from llamavk_tpu.models import init_kv_cache
+    from llamavk_tpu.ops.flash_attn import flash_attention_update
+
+    path, _ = tiny
+    cfg, params, _tok = load_model(path, scale_dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    b, t, h, d, s = 1, 2, cfg.n_head, cfg.head_dim, 16
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    vn = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((cfg.n_layer, b, h, s, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((cfg.n_layer, b, h, s, d)), jnp.bfloat16)
+    out0, kc2, vc2 = flash_attention_update(
+        q, kn, vn, kc, vc, jnp.int32(3), jnp.int32(0),
+        block_t=2, block_k=8, commit=False,
+    )
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc))
+    # attention still sees the (unchanged) cache plus masked garbage rows
+    assert bool(jnp.isfinite(out0).all())
+
+
+def test_vector_npast_einsum_path(tiny):
+    """Continuous-batching positions through the einsum (oracle) path must
+    match the flash path (covers the per-row gated DUS writes)."""
+    import jax.numpy as jnp
+    from llamavk_tpu.models import init_kv_cache
+
+    path, _ = tiny
+    cfg, params, _tok = load_model(path, scale_dtype=jnp.float32)
+    toks = jnp.asarray([[3, 14], [9, 2]], jnp.int32)
+    n_past = jnp.asarray([0, 5], jnp.int32)
+    ca = init_kv_cache(cfg, 2, 16)
+    cb = init_kv_cache(cfg, 2, 16)
+    la, ca2, _ = llama_forward(params, toks, ca, n_past, cfg, attn_impl="flash")
+    lb, cb2, _ = llama_forward(params, toks, cb, n_past, cfg, attn_impl="einsum")
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(ca2.k), np.asarray(cb2.k), rtol=2e-2, atol=3e-2
+    )
