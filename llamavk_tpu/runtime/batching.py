@@ -141,6 +141,15 @@ class BatchedEngine:
         return req
 
     def _admit(self) -> None:
+        """Fill free slots from the queue.
+
+        Two phases so the (high-latency) device round-trips overlap: phase 1
+        dispatches every admitted request's prefill + slot insert + first-token
+        sample asynchronously; phase 2 materializes the sampled ids with one
+        sync per request AFTER everything is in flight."""
+        from .sampling import sample_token
+
+        pending = []  # (req, slot, device token)
         for slot in range(self.bcfg.max_batch):
             if self.slots[slot] is not None or not self.queue:
                 continue
@@ -166,7 +175,7 @@ class BatchedEngine:
             )  # [V]
             self.cache = self._insert_slot(self.cache, cache1, jnp.int32(slot))
             self.stats["prefills"] += 1
-            # sample the first token on host from prefill logits
+            # first-token sample stays on device until phase 2
             w = self.bcfg.repeat_last_n
             hist = req.prompt[-w:]
             self.last_window[slot] = -1
@@ -177,19 +186,19 @@ class BatchedEngine:
             self.temp[slot] = sp.temp
             self.penalty[slot] = sp.repeat_penalty
             self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
-            from .sampling import sample_token
-
-            tok = int(
-                sample_token(
-                    logits,
-                    jnp.asarray(self.last_window[slot]),
-                    jax.random.key(req.seed + 1),
-                    sp,
-                )
+            tok_dev = sample_token(
+                logits,
+                jnp.asarray(self.last_window[slot]),
+                jax.random.key(req.seed + 1),
+                sp,
             )
+            self.n_past[slot] = plen
+            pending.append((req, slot, tok_dev))
+
+        for req, slot, tok_dev in pending:
+            tok = int(tok_dev)
             self._emit(req, tok)
             self.cur_tok[slot] = tok
-            self.n_past[slot] = len(req.prompt)
             self.last_window[slot] = np.roll(self.last_window[slot], -1)
             self.last_window[slot, -1] = tok
 
