@@ -230,6 +230,7 @@ def llama_forward(
     pp_size: int = 1,
     attn_impl: str = "auto",
     collect_acts: bool = False,
+    last_idx: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -404,9 +405,15 @@ def llama_forward(
         )
 
     xn = rms_norm(x, params.norm, cfg.norm_eps)
-    embeddings = xn[:, -1, :].astype(jnp.float32)
+    # last_idx: true final position when the caller bucket-padded T (traced,
+    # so one compiled program serves every prompt length within a bucket)
+    if last_idx is None:
+        last = xn[:, -1:, :]
+    else:
+        last = jax.lax.dynamic_slice_in_dim(xn, last_idx, 1, axis=1)
+    embeddings = last[:, 0, :].astype(jnp.float32)
     if not logits_all:
-        xn = xn[:, -1:, :]
+        xn = last
     if isinstance(params.output, QWeight):
         # run through the stacked (L=1) kernel path: the flat path makes XLA
         # stage loop-invariant copies of the whole packed weight inside the

@@ -121,9 +121,10 @@ class Engine:
         cfg_ = cfg
 
         @partial(jax.jit, static_argnames=("logits_all",))
-        def _prefill(params, tokens, cache, n_past, logits_all=False):
+        def _prefill(params, tokens, cache, n_past, last_idx, logits_all=False):
             return llama_forward(
-                params, tokens, cache, n_past, cfg_, logits_all=logits_all
+                params, tokens, cache, n_past, cfg_,
+                logits_all=logits_all, last_idx=last_idx,
             )
 
         self._prefill = _prefill
@@ -159,14 +160,23 @@ class Engine:
                 f" > n_ctx({self.ecfg.n_ctx})"
             )
         t0 = time.perf_counter()
-        toks = jnp.asarray(np.asarray(full, np.int32))[None]
+        # bucket-pad T to a power of two: prefill compiles once per bucket,
+        # not once per prompt length (~40 s/compile on a 7B). Garbage KV rows
+        # past len(full) sit beyond n_past and are overwritten before any
+        # query can attend to them (same invariant as the batching engine).
+        t_real = len(full)
+        bucket = 1 << (t_real - 1).bit_length()
+        bucket = min(bucket, self.ecfg.n_ctx - self.n_past)
+        padded = full + [0] * (bucket - t_real)
+        toks = jnp.asarray(np.asarray(padded, np.int32))[None]
         logits, self.cache, self._last_emb = self._prefill(
-            self.params, toks, self.cache, jnp.int32(self.n_past), logits_all=logits_all
+            self.params, toks, self.cache, jnp.int32(self.n_past),
+            jnp.int32(t_real - 1), logits_all=logits_all,
         )
         logits = np.asarray(logits)[0]
-        if logits_all and backlog:
-            logits = logits[len(backlog) :]
-        self.n_past += len(full)
+        if logits_all:
+            logits = logits[len(backlog) : t_real]
+        self.n_past += t_real
         self.tokens.extend(new_toks)
         self.timings.t_prompt_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_prompt += len(full)
