@@ -39,6 +39,16 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--repeat-last-n", type=int, default=64)
     ap.add_argument("--ignore-eos", action="store_true")
     ap.add_argument("--n-keep", type=int, default=0)
+    ap.add_argument(
+        "--ctx-swap", choices=["reeval", "ring"], default="reeval",
+        help="context-overflow strategy: reeval = keep n_keep + re-feed half "
+        "the window (main.cpp:246-266 parity); ring = history-ring KV, no "
+        "re-eval (the Vulkan engine's historyIndex, generalized)",
+    )
+    ap.add_argument(
+        "--kv-dtype", choices=["bfloat16", "int8"], default="bfloat16",
+        help="KV cache storage (int8: half the memory/bandwidth, 2x context)",
+    )
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
     ap.add_argument("-ins", "--instruct", action="store_true")
@@ -73,10 +83,17 @@ class ContextManager:
 def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     t_load0 = time.perf_counter()
     cfg, params, tok = load_model(args.model)
+    ring = getattr(args, "ctx_swap", "reeval") == "ring"
     engine = Engine(
         cfg,
         params,
-        EngineConfig(n_ctx=args.ctx_size, seed=args.seed if args.seed >= 0 else 0),
+        EngineConfig(
+            n_ctx=args.ctx_size,
+            seed=args.seed if args.seed >= 0 else 0,
+            kv_dtype=getattr(args, "kv_dtype", "bfloat16"),
+            ctx_ring=ring,
+            ring_keep=min(max(args.n_keep, 0), args.ctx_size // 2) if ring else 0,
+        ),
     )
     engine.timings.t_load_us = (time.perf_counter() - t_load0) * 1e6
     sp = SamplerParams(
@@ -116,8 +133,11 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     pending = prompt_tokens
     remaining = args.n_predict
     while True:
-        ctxman.ensure_room(len(pending) + 1)
-        n = min(remaining, args.ctx_size - engine.n_past - len(pending))
+        if ring:
+            n = remaining  # the ring absorbs overflow; no swap, no re-eval
+        else:
+            ctxman.ensure_room(len(pending) + 1)
+            n = min(remaining, args.ctx_size - engine.n_past - len(pending))
         if n <= 0:
             break
         got = engine.generate(

@@ -193,12 +193,22 @@ def llama_sample_top_p_top_k(
 
 def llama_get_kv_cache(ctx) -> bytes:
     s = ctx.engine.save_session()
-    return s.k.tobytes() + s.v.tobytes()
+    blob = s.k.tobytes() + s.v.tobytes()
+    if s.k_scale is not None:  # int8 cache: scales ride behind the data
+        blob += s.k_scale.tobytes() + s.v_scale.tobytes()
+    if s.pos is not None:  # history ring: the position plane rides last
+        blob += s.pos.tobytes()
+    return blob
 
 
 def llama_get_kv_cache_size(ctx) -> int:
     c = ctx.engine.cache
-    return c.k.nbytes + c.v.nbytes
+    n = c.k.nbytes + c.v.nbytes
+    if c.quantized:
+        n += c.k_scale.nbytes + c.v_scale.nbytes
+    if c.ring:
+        n += c.pos.nbytes
+    return n
 
 
 def llama_get_kv_cache_token_count(ctx) -> int:
@@ -208,10 +218,23 @@ def llama_get_kv_cache_token_count(ctx) -> int:
 def llama_set_kv_cache(ctx, data: bytes, n_token_count: int) -> None:
     eng = ctx.engine
     c = eng.cache
-    k = np.frombuffer(data[: c.k.nbytes], np.asarray(c.k).dtype).reshape(c.k.shape)
-    v = np.frombuffer(data[c.k.nbytes :], np.asarray(c.v).dtype).reshape(c.v.shape)
+
+    def take(tmpl):
+        nonlocal data
+        a = np.frombuffer(data[: tmpl.nbytes], np.asarray(tmpl).dtype)
+        data = data[tmpl.nbytes :]
+        return a.reshape(tmpl.shape)
+
+    k, v = take(c.k), take(c.v)
+    ks = vs = pos = None
+    if c.quantized:
+        ks, vs = take(c.k_scale), take(c.v_scale)
+    if c.ring:
+        pos = take(c.pos)
     eng.restore_session(
-        SessionState(k=k, v=v, n_past=n_token_count, tokens=eng.tokens[:n_token_count])
+        SessionState(k=k, v=v, n_past=n_token_count,
+                     tokens=eng.tokens[:n_token_count], k_scale=ks, v_scale=vs,
+                     pos=pos)
     )
 
 

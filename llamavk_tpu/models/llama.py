@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..formats.ggml_io import Hparams
 from ..ops.flash_attn import flash_attention, flash_attention_update
+from ..ops.kv_quant import quantize_rows
 from ..ops.norms import rms_norm
 from ..ops.pallas_backend import interpret_mode
 from ..ops.q4_matmul import q4_matmul
@@ -133,22 +134,58 @@ class KVCache:
     """Dense per-layer KV slabs, [L, B, H, S, D] — heads-major so the
     attention einsums are plain batched GEMMs with no cache relayout. The TPU
     analog of the reference's kv_cache (llama.cpp:671-700); stored bf16 by
-    default (the f16_kv option)."""
+    default (the f16_kv option), or int8 with per-row f32 scales
+    [L, B, S, H] (ops/kv_quant.py) — half the KV memory and attention read
+    bandwidth, double the context per chip."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+    pos: jax.Array | None = None  # [S, B] int32 history-ring positions
 
     @property
     def max_len(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def ring(self) -> bool:
+        return self.pos is not None
+
 
 def init_kv_cache(
-    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16, n_head_local: int | None = None
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+    n_head_local: int | None = None, ring: bool = False,
 ) -> KVCache:
     h = cfg.n_head if n_head_local is None else n_head_local
+    dtype = jnp.dtype(dtype)
     shape = (cfg.n_layer, batch, h, max_len, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    extra = {}
+    if dtype == jnp.int8:
+        sshape = (cfg.n_layer, batch, max_len, h)
+        extra.update(
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+        )
+    if ring:
+        # history ring (the reference's historyIndex generalization): row j
+        # holds the token whose logical position is pos[j, b]; -1 = empty
+        extra.update(pos=jnp.full((max_len, batch), -1, jnp.int32))
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), **extra)
+
+
+def ring_phys(pos: jax.Array, n_keep: int, s: int) -> jax.Array:
+    """Logical position → physical ring row: the first fill is the identity;
+    past the end, rows [n_keep, s) recycle (the first n_keep rows — attention
+    sinks / the kept prompt prefix — are pinned, main.cpp:246-266 semantics
+    without the re-eval)."""
+    span = max(s - n_keep, 1)
+    wrapped = n_keep + jax.lax.rem(pos - n_keep, span)
+    return jnp.where(pos < s, pos, wrapped)
 
 
 def _linear(x: jax.Array, w: Weight, **kw) -> jax.Array:
@@ -181,12 +218,18 @@ def _attention(
     v_cache: jax.Array,  # [B, H, S, D]
     n_past: jax.Array,  # scalar int32
     mesh_axis: str | None = None,
+    k_scale: jax.Array | None = None,  # [B, S, H]: int8 cache (numerics oracle
+    v_scale: jax.Array | None = None,  # dequantizes the whole layer slice)
+    kv_pos: jax.Array | None = None,  # [S, B]: history-ring positions
 ) -> jax.Array:
     """Causal attention of T new queries against the (updated) cache.
 
     Cache operands stay in their storage dtype (bf16) on the MXU with f32
     accumulation and heads-major layout, so each head's score/value products
     are contiguous batched GEMMs — no per-step cache relayout."""
+    if k_scale is not None:
+        k_cache = k_cache.astype(jnp.float32) * k_scale.transpose(0, 2, 1)[..., None]
+        v_cache = v_cache.astype(jnp.float32) * v_scale.transpose(0, 2, 1)[..., None]
     b, t, h, d = q.shape
     s = k_cache.shape[2]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
@@ -201,10 +244,15 @@ def _attention(
     )
     # position j visible to query t iff j <= n_past + t
     # (n_past may be per-batch-row [B] for continuous batching)
-    jpos = jnp.arange(s)  # [S]
     npast_b = jnp.broadcast_to(jnp.asarray(n_past), (b,))  # [B]
     tpos = npast_b[:, None] + jnp.arange(t)[None, :]  # [B, T]
-    mask = jpos[None, None, :] <= tpos[:, :, None]  # [B, T, S]
+    if kv_pos is not None:
+        # ring: visibility by each row's logical position (and occupancy)
+        posT = kv_pos.T  # [B, S]
+        mask = (posT[:, None, :] >= 0) & (posT[:, None, :] <= tpos[:, :, None])
+    else:
+        jpos = jnp.arange(s)  # [S]
+        mask = jpos[None, None, :] <= tpos[:, :, None]  # [B, T, S]
     scores = jnp.where(mask[:, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
@@ -228,9 +276,14 @@ def llama_forward(
     tp_size: int = 1,
     pp_axis: str | None = None,
     pp_size: int = 1,
+    pp_microbatch: int = 1,  # microbatches interleaved across pp stages
     attn_impl: str = "auto",
     collect_acts: bool = False,
     last_idx: jax.Array | None = None,
+    ring_keep: int = 0,  # pinned prefix rows of a history-ring cache
+    cache_batch_offset: jax.Array | int = 0,  # first cache row these tokens
+    # occupy (pp microbatching: a stage runs a batch SLICE against its
+    # full-batch cache; kernels index rows at offset instead of slicing)
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -246,6 +299,7 @@ def llama_forward(
     """
     b, t = tokens.shape
     h, d = cfg.n_head, cfg.head_dim
+    boff = cache_batch_offset
 
     def _linear_l(xx, w, l):
         # stacked per-layer weight: QWeights stream layer l's tiles straight
@@ -271,31 +325,69 @@ def llama_forward(
     positions = (n_past[:, None] if vector_past else n_past) + jnp.arange(t)
     cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [(B,) T, D/2]
 
+    # history ring: physical write rows + the updated position plane (done
+    # ONCE per forward — positions are layer-independent; kernels read the
+    # already-updated plane). RoPE stays on logical positions: relative
+    # offsets keep their meaning, so no re-eval on wrap (unlike the
+    # reference CLI's swap, main.cpp:246-266).
+    ring = cache.ring
+    if ring:
+        s_ctx = cache.k.shape[3]
+        wstart = ring_phys(n_past, ring_keep, s_ctx)  # scalar or [B]
+        new_pos = cache.pos
+        pos_i32 = jnp.asarray(positions, jnp.int32)
+        if vector_past:
+            for bi in range(b):
+                new_pos = jax.lax.dynamic_update_slice(
+                    new_pos, pos_i32[bi][:, None],
+                    (wstart[bi], jnp.int32(boff) + bi),
+                )
+        else:
+            new_pos = jax.lax.dynamic_update_slice(
+                new_pos, jnp.broadcast_to(pos_i32[:, None], (t, b)),
+                (wstart, jnp.int32(boff)),
+            )
+    else:
+        wstart = n_past
+        new_pos = None
+
     lp = params.layers  # stacked weights, captured (NOT scan xs — see above)
     fused = isinstance(lp, FusedLayerParams)
 
-    def make_layer_step(commit):
+    quantized_kv = cache.quantized
+
+    def make_layer_step(commit, npast_l=None, wstart_l=None, boff_l=None,
+                        cos_l=None, sin_l=None):
+      # per-call context (pp microbatching runs a batch SLICE per stage):
+      # defaults are the whole-batch values
+      npast_l = n_past if npast_l is None else npast_l
+      wstart_l = wstart if wstart_l is None else wstart_l
+      boff_l = boff if boff_l is None else boff_l
+      cos_l = cos if cos_l is None else cos_l
+      sin_l = sin if sin_l is None else sin_l
+
       def layer_step(carry, l):
         # the full cache rides the carry so XLA updates it in place; only the
         # current layer's slice is read and only T new positions are written
         # (threading per-layer slices through scan xs/ys forced whole-cache
         # copies every step)
-        x, ck, cv = carry
+        x, ck, cv, cks, cvs = carry
+        bq = x.shape[0]  # rows this step operates on (b, or b/M under pp)
         # --- attention block (llama.cpp:976-1070)
         attn_norm_l = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, False)
         xa = rms_norm(x, attn_norm_l, cfg.norm_eps)
         if fused:
             qkv = _linear_l(xa, lp.wqkv, l)
             e_loc = qkv.shape[-1] // 3
-            q = qkv[..., :e_loc].reshape(b, t, -1, d)
-            k = qkv[..., e_loc : 2 * e_loc].reshape(b, t, -1, d)
-            v = qkv[..., 2 * e_loc :].reshape(b, t, -1, d)
+            q = qkv[..., :e_loc].reshape(bq, t, -1, d)
+            k = qkv[..., e_loc : 2 * e_loc].reshape(bq, t, -1, d)
+            v = qkv[..., 2 * e_loc :].reshape(bq, t, -1, d)
         else:
-            q = _linear_l(xa, lp.wq, l).reshape(b, t, -1, d)  # local heads under TP
-            k = _linear_l(xa, lp.wk, l).reshape(b, t, -1, d)
-            v = _linear_l(xa, lp.wv, l).reshape(b, t, -1, d)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)  # RoPE'd K is what gets cached
+            q = _linear_l(xa, lp.wq, l).reshape(bq, t, -1, d)  # local heads under TP
+            k = _linear_l(xa, lp.wk, l).reshape(bq, t, -1, d)
+            v = _linear_l(xa, lp.wv, l).reshape(bq, t, -1, d)
+        q = apply_rope(q, cos_l, sin_l)
+        k = apply_rope(k, cos_l, sin_l)  # RoPE'd K is what gets cached
         # Flash (default): ONE kernel writes the new K/V rows into layer l of
         # the stacked cache (aliased, in place) and attends over the ragged
         # valid prefix — no per-layer cache slice copies, no XLA update ops
@@ -306,13 +398,33 @@ def llama_forward(
             # Mosaic DMA slices need 128-lane-aligned head_dim on real TPUs;
             # every LLaMA family model has d=128, only toy configs fall back
             impl = "einsum"
+        wrow = wstart_l if ring else None
         if impl == "flash" and t % min(256, t) == 0:
-            attn, ck, cv = flash_attention_update(
-                q, k, v, ck, cv, n_past, l, commit=commit
-            )
+            if quantized_kv:
+                # fused quantize + write + attend (one kernel, no XLA-level
+                # cache update ops — the per-slot DUS chain dominated batched
+                # decode on the bf16 path too)
+                attn, ck, cv, cks, cvs = flash_attention_update(
+                    q, k, v, ck, cv, npast_l, l, commit=commit,
+                    k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
+                    batch_offset=boff_l,
+                )
+            else:
+                attn, ck, cv = flash_attention_update(
+                    q, k, v, ck, cv, npast_l, l, commit=commit,
+                    kv_pos=new_pos, write_row=wrow, batch_offset=boff_l,
+                )
         else:
-            k_w = k.swapaxes(1, 2)  # [B, H, T, D]
-            v_w = v.swapaxes(1, 2)
+            if quantized_kv:
+                # per-row int8: quantize the new rows once, write data rows
+                # (heads-major) + scale rows [T, H] (positions-major)
+                k_q, k_sc = quantize_rows(k)  # [B,T,H,D] int8, [B,T,H] f32
+                v_q, v_sc = quantize_rows(v)
+                k_w = k_q.swapaxes(1, 2)  # [B, H, T, D]
+                v_w = v_q.swapaxes(1, 2)
+            else:
+                k_w = k.swapaxes(1, 2)  # [B, H, T, D]
+                v_w = v.swapaxes(1, 2)
             def gated_dus(buf, upd, start):
                 # commit=False (pp idle hop): re-write the existing rows
                 if commit is not True:
@@ -325,28 +437,52 @@ def llama_forward(
                 # row (static unroll). An advanced-index scatter here lowers
                 # to an XLA scatter over the whole multi-GB cache — measured
                 # 20x slower per decode step on v5e.
-                for bi in range(b):
+                for bi in range(bq):
                     ck = gated_dus(
                         ck,
                         k_w[bi : bi + 1][None].astype(ck.dtype),
-                        (l, bi, 0, n_past[bi], 0),
+                        (l, boff_l + bi, 0, wstart_l[bi], 0),
                     )
                     cv = gated_dus(
                         cv,
                         v_w[bi : bi + 1][None].astype(cv.dtype),
-                        (l, bi, 0, n_past[bi], 0),
+                        (l, boff_l + bi, 0, wstart_l[bi], 0),
                     )
+                    if quantized_kv:
+                        cks = gated_dus(
+                            cks, k_sc[bi : bi + 1][None], (l, boff_l + bi, wstart_l[bi], 0)
+                        )
+                        cvs = gated_dus(
+                            cvs, v_sc[bi : bi + 1][None], (l, boff_l + bi, wstart_l[bi], 0)
+                        )
             else:
                 # write only the T new positions of this layer
-                ck = gated_dus(ck, k_w[None].astype(ck.dtype), (l, 0, 0, n_past, 0))
-                cv = gated_dus(cv, v_w[None].astype(cv.dtype), (l, 0, 0, n_past, 0))
+                ck = gated_dus(ck, k_w[None].astype(ck.dtype), (l, boff_l, 0, wstart_l, 0))
+                cv = gated_dus(cv, v_w[None].astype(cv.dtype), (l, boff_l, 0, wstart_l, 0))
+                if quantized_kv:
+                    cks = gated_dus(cks, k_sc[None], (l, boff_l, wstart_l, 0))
+                    cvs = gated_dus(cvs, v_sc[None], (l, boff_l, wstart_l, 0))
             if impl == "flash":
-                attn = flash_attention(q, ck, cv, n_past, layer_idx=l)
+                attn = flash_attention(
+                    q, ck, cv, n_past, layer_idx=l,
+                    k_scale=cks, v_scale=cvs, kv_pos=new_pos,
+                    batch_offset=boff_l,
+                )
             else:
-                k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
-                v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
-                attn = _attention(q, k_l, v_l, n_past)  # [B,T,H,D] f32
-        attn = attn.reshape(b, t, -1).astype(dtype)
+                def brows(a, axis=0):
+                    return jax.lax.dynamic_slice_in_dim(a, boff_l, bq, axis=axis)
+
+                k_l = brows(jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False))
+                v_l = brows(jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False))
+                ks_l = vs_l = None
+                if quantized_kv:
+                    ks_l = brows(jax.lax.dynamic_index_in_dim(cks, l, 0, keepdims=False))
+                    vs_l = brows(jax.lax.dynamic_index_in_dim(cvs, l, 0, keepdims=False))
+                attn = _attention(
+                    q, k_l, v_l, npast_l, k_scale=ks_l, v_scale=vs_l,
+                    kv_pos=None if new_pos is None else brows(new_pos, axis=1),
+                )  # [B,T,H,D] f32
+        attn = attn.reshape(bq, t, -1).astype(dtype)
         wo_out = _row_linear_l(attn, lp.wo, l)
         if tp_axis is not None:
             wo_out = jax.lax.psum(wo_out, tp_axis)
@@ -375,40 +511,108 @@ def llama_forward(
             if collect_acts
             else None
         )
-        return (x, ck, cv), acts
+        return (x, ck, cv, cks, cvs), acts
 
       return layer_step
 
     n_layers = cache.k.shape[0]  # LOCAL layers (pp shard when pp_size > 1)
     layer_ids = jnp.arange(n_layers, dtype=jnp.int32)
     if pp_axis is None:
-        (x, new_k, new_v), layer_acts = jax.lax.scan(
-            make_layer_step(True), (x, cache.k, cache.v), layer_ids
+        (x, new_k, new_v, new_ks, new_vs), layer_acts = jax.lax.scan(
+            make_layer_step(True),
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            layer_ids,
         )
     else:
         # pipeline-parallel ring (stage s holds layers [s*Ll, (s+1)*Ll) and
-        # its cache shard): the activation hops stages via ppermute; stage s
-        # does its real work at hop s and commits cache writes only then.
-        # This is the un-microbatched schedule — correct, compiles the ICI
-        # collectives; utilization comes from batching over dp.
+        # its cache shard): activations hop stages via ppermute; a stage
+        # commits cache writes only while holding a real microbatch.
         stage = jax.lax.axis_index(pp_axis)
         new_k, new_v = cache.k, cache.v
+        new_ks, new_vs = cache.k_scale, cache.v_scale
         layer_acts = None
-        ring = [(i, (i + 1) % pp_size) for i in range(pp_size)]
-        for hop in range(pp_size):
-            step = make_layer_step(stage == hop)
-            (x, new_k, new_v), _ = jax.lax.scan(step, (x, new_k, new_v), layer_ids)
-            x = jax.lax.ppermute(x, pp_axis, ring)
-        # the fully-processed activation now sits on stage 0: broadcast it
-        x = jax.lax.psum(
-            jnp.where(stage == 0, x, jnp.zeros_like(x)), pp_axis
-        )
+        perm = [(i, (i + 1) % pp_size) for i in range(pp_size)]
+        M = max(1, pp_microbatch)
+        if M == 1:
+            # un-microbatched: ONE activation circles the ring; stage s does
+            # its real work at hop s (1/P utilization per activation —
+            # utilization then comes from batching over dp)
+            for hop in range(pp_size):
+                step = make_layer_step(stage == hop)
+                (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+                    step, (x, new_k, new_v, new_ks, new_vs), layer_ids
+                )
+                x = jax.lax.ppermute(x, pp_axis, perm)
+            # the fully-processed activation now sits on stage 0: broadcast
+            x = jax.lax.psum(
+                jnp.where(stage == 0, x, jnp.zeros_like(x)), pp_axis
+            )
+        else:
+            # GPipe-style interleave: the batch splits into M microbatches;
+            # at step tau, stage s runs microbatch tau - s, so after the
+            # P-1-step fill EVERY stage computes every step — utilization
+            # M/(M+P-1) instead of 1/P. Each stage addresses its microbatch's
+            # cache rows via the kernels' batch_offset (no cache slicing).
+            assert b % M == 0, (b, M)
+            b0 = b // M
+            kdim = x.shape[-1]
+            xm = x.reshape(M, b0, t, kdim)
+            cur = jnp.zeros_like(xm[0])
+            outs = jnp.zeros((M, b0, t, kdim), x.dtype)
+            for tau in range(M + pp_size - 1):
+                if tau < M:
+                    # stage 0 ingests microbatch tau this step
+                    cur = jnp.where(stage == 0, xm[tau], cur)
+                m = tau - stage  # this stage's microbatch index (traced)
+                valid = (m >= 0) & (m < M)
+                mc = jnp.clip(m, 0, M - 1)
+                boff_m = jnp.int32(boff) + mc * b0
+                npast_m = (
+                    jax.lax.dynamic_slice_in_dim(n_past, mc * b0, b0)
+                    if vector_past else n_past
+                )
+                if ring:
+                    wstart_m = (
+                        jax.lax.dynamic_slice_in_dim(wstart, mc * b0, b0)
+                        if vector_past else wstart
+                    )
+                else:
+                    wstart_m = npast_m
+                cos_m = (
+                    jax.lax.dynamic_slice_in_dim(cos, mc * b0, b0, 0)
+                    if vector_past else cos
+                )
+                sin_m = (
+                    jax.lax.dynamic_slice_in_dim(sin, mc * b0, b0, 0)
+                    if vector_past else sin
+                )
+                step = make_layer_step(
+                    valid, npast_l=npast_m, wstart_l=wstart_m, boff_l=boff_m,
+                    cos_l=cos_m, sin_l=sin_m,
+                )
+                (cur, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+                    step, (cur, new_k, new_v, new_ks, new_vs), layer_ids
+                )
+                out_idx = tau - (pp_size - 1)
+                if 0 <= out_idx < M:
+                    # the last stage just finished microbatch out_idx
+                    outs = outs.at[out_idx].set(
+                        jnp.where(stage == pp_size - 1, cur, outs[out_idx])
+                    )
+                cur = jax.lax.ppermute(cur, pp_axis, perm)
+            # only the last stage deposited real rows; broadcast via psum
+            x = jax.lax.psum(outs, pp_axis).reshape(b, t, kdim)
 
     xn = rms_norm(x, params.norm, cfg.norm_eps)
     # last_idx: true final position when the caller bucket-padded T (traced,
-    # so one compiled program serves every prompt length within a bucket)
+    # so one compiled program serves every prompt length within a bucket);
+    # a [B] vector gives per-row positions (batched admission prefill)
     if last_idx is None:
         last = xn[:, -1:, :]
+    elif jnp.asarray(last_idx).ndim == 1:
+        last = jnp.take_along_axis(
+            xn, jnp.asarray(last_idx, jnp.int32)[:, None, None], axis=1
+        )
     else:
         last = jax.lax.dynamic_slice_in_dim(xn, last_idx, 1, axis=1)
     embeddings = last[:, 0, :].astype(jnp.float32)
@@ -429,11 +633,9 @@ def llama_forward(
     if tp_axis is not None:
         # vocab-sharded logits → full logits on every device
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    new_cache = KVCache(
+        k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs, pos=new_pos
+    )
     if collect_acts:
-        return (
-            logits.astype(jnp.float32),
-            KVCache(k=new_k, v=new_v),
-            embeddings,
-            layer_acts,
-        )
-    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v), embeddings
+        return logits.astype(jnp.float32), new_cache, embeddings, layer_acts
+    return logits.astype(jnp.float32), new_cache, embeddings

@@ -36,14 +36,15 @@ from .pallas_backend import interpret_mode
 _NEG = -1e30
 
 
-def _fit_block_k(block_k: int, s: int) -> int:
-    """Largest KV block <= block_k that divides s (8-row aligned); arbitrary
-    n_ctx values work instead of asserting on non-multiples of 256."""
+def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
+    """Largest KV block <= block_k that divides s (8-row aligned; 32 for int8
+    caches, whose Mosaic tile is (32, 128)); arbitrary n_ctx values work
+    instead of asserting on non-multiples of 256."""
     bk = min(block_k, s)
-    while bk > 8 and s % bk:
-        bk -= 8
+    while bk > step and s % bk:
+        bk -= step
     if s % bk:
-        raise ValueError(f"KV cache length {s} must be a multiple of 8")
+        raise ValueError(f"KV cache length {s} must be a multiple of {step}")
     return bk
 
 
@@ -68,131 +69,306 @@ def attention_ref(q, k, v, n_past):
     return out
 
 
-def _kernel_update(idx_ref, npast_ref, commit_ref, q_ref, knew_ref, vnew_ref,
-                   k_in, v_in, o_ref, k_out, v_out, kbuf, vbuf, sems, kwin,
-                   vwin, wsems, *, block_t: int, block_k: int, scale: float):
+def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
+                   block_k: int, scale: float):
     """Fused cache-write + attention: merge this program's new K/V rows into
-    the aliased cache at positions [n_past[b]+t0, +BT), then attend over the
-    updated prefix — the design of the reference's attention shader, which
-    also writes K,V to its cache slot in-kernel (llama-vk.hlsl:343-699).
-    Removes every XLA-level cache-update op from the step (the per-slot
-    dynamic_update_slice chain dominated batched decode).
+    the aliased cache, then attend over the updated cache — the design of the
+    reference's attention shader, which also writes K,V to its cache slot
+    in-kernel (llama-vk.hlsl:343-699). Removes every XLA-level cache-update
+    op from the step (the per-slot dynamic_update_slice chain dominated
+    batched decode).
 
-    The write position is arbitrary but the cache memref is (8,128)-tiled, so
-    the write is a read-modify-write of the containing 8-aligned window: DMA
-    the window in, merge the new rows at the (dynamic, <8) offset via a
-    static-offset switch, DMA it back. Grid programs touch disjoint (b, head
-    range) slices except consecutive t-blocks' shared boundary tile, which is
-    safe because the t dimension is sequential ('arbitrary' semantics)."""
-    del k_in, v_in  # aliased with k_out/v_out; all access goes through *_out
+    The write position is arbitrary but the cache memref is tiled ((8,128)
+    bf16, (32,128) int8), so the write is a read-modify-write of the
+    containing aligned window: DMA the window in, merge the new rows at the
+    (dynamic, bounded) offset via a static-offset switch, DMA it back. Grid
+    programs touch disjoint (b, head range) slices except consecutive
+    t-blocks' shared boundary tile, which is safe because the t dimension is
+    sequential ('arbitrary' semantics).
+
+    quantized: the new rows are quantized in VMEM (same absmax formula as
+    ops/kv_quant.quantize_rows) and the f32 per-row scales RMW-merge into the
+    [S, H] scale plane (8-aligned windows, this program's head lanes masked
+    in). Scale windows are shared between head-programs, so the h grid dim
+    then also runs 'arbitrary' (sequential on a core; v5e has one core).
+
+    ring: rows land at the physical ring row `wrow[b] + t0` instead of the
+    logical position, and attention masks by the per-row logical positions
+    (kv_pos, updated by the caller BEFORE this kernel runs)."""
+    it = iter(args)
+    idx_ref, npast_ref, wrow_ref, commit_ref, boff_ref = (
+        next(it), next(it), next(it), next(it), next(it)
+    )
+    q_ref, knew_ref, vnew_ref = next(it), next(it), next(it)
+    _k_in, _v_in = next(it), next(it)  # aliased with *_out
+    if quantized:
+        _ks_in, _vs_in = next(it), next(it)
+    pos_hbm = next(it) if ring else None
+    o_ref = next(it)
+    k_out, v_out = next(it), next(it)
+    ks_out = vs_out = None
+    if quantized:
+        ks_out, vs_out = next(it), next(it)
+    kbuf, vbuf, sems = next(it), next(it), next(it)
+    ksbuf = vsbuf = ssems = posbuf = psems = None
+    if quantized:
+        ksbuf, vsbuf, ssems = next(it), next(it), next(it)
+    if ring:
+        posbuf, psems = next(it), next(it)
+    kwin, vwin, wsems = next(it), next(it), next(it)
+    if quantized:
+        kswin, vswin, swsems = next(it), next(it), next(it)
+
     b = pl.program_id(0)
+    babs = boff_ref[0] + b  # absolute cache batch row (pp microbatch offset)
     hb = pl.program_id(1)
     tb = pl.program_id(2)
     layer = idx_ref[0]
-    npast = npast_ref[b]
     t0 = tb * block_t
     hg, bt = knew_ref.shape[1], knew_ref.shape[2]
-    w = kwin.shape[1]  # window rows: round_up(bt + 7, 8)
+    w = kwin.shape[1]  # window rows (tile-aligned)
     s_total = k_out.shape[3]
+    n_heads = k_out.shape[2]
+    commit = commit_ref[0] != 0
+    start = wrow_ref[b] + t0  # physical write row (== logical when not ring)
+    step = 32 if quantized else 8
 
-    start = npast + t0
-    win0 = jnp.minimum((start // 8) * 8, s_total - w)
-    win0 = pl.multiple_of(win0, 8)
-    off = start - win0  # in [0, 8) normally; larger only when clamped at end
+    win0 = jnp.minimum((start // step) * step, s_total - w)
+    win0 = pl.multiple_of(win0, step)
+    off = start - win0  # in [0, step); larger only when clamped at the end
 
-    def win_dma(src_out, buf, sem):
-        return pltpu.make_async_copy(
-            src_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
-            buf,
-            sem,
-        )
+    if quantized:
+        # quantize the new rows (VPU): [HG, BT, D] -> int8 + scale [HG, BT]
+        kf = knew_ref[0].astype(jnp.float32)
+        vf = vnew_ref[0].astype(jnp.float32)
+        kamax = jnp.max(jnp.abs(kf), axis=-1)
+        vamax = jnp.max(jnp.abs(vf), axis=-1)
+        ksc = jnp.where(kamax > 0, kamax / 127.0, 1.0)
+        vsc = jnp.where(vamax > 0, vamax / 127.0, 1.0)
+        k_rows = jnp.clip(jnp.round(kf / ksc[..., None]), -127, 127).astype(jnp.int8)
+        v_rows = jnp.clip(jnp.round(vf / vsc[..., None]), -127, 127).astype(jnp.int8)
+    else:
+        k_rows = knew_ref[0]
+        v_rows = vnew_ref[0]
 
-    kr = win_dma(k_out, kwin, wsems.at[0])
-    vr = win_dma(v_out, vwin, wsems.at[1])
+    def data_at(src):
+        return src.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(win0, w), :]
+
+    kr = pltpu.make_async_copy(data_at(k_out), kwin, wsems.at[0])
+    vr = pltpu.make_async_copy(data_at(v_out), vwin, wsems.at[1])
     kr.start()
     vr.start()
+
+    if quantized:
+        # scale RMW (8-aligned window along S of the [S, H] plane)
+        ws = kswin.shape[0]
+        swin0 = jnp.minimum((start // 8) * 8, s_total - ws)
+        swin0 = pl.multiple_of(swin0, 8)
+        soff = start - swin0
+
+        def scale_at(src):
+            return src.at[layer, babs, pl.ds(swin0, ws), :]
+
+        ksr = pltpu.make_async_copy(scale_at(ks_out), kswin, swsems.at[0])
+        vsr = pltpu.make_async_copy(scale_at(vs_out), vswin, swsems.at[1])
+        ksr.start()
+        vsr.start()
     kr.wait()
     vr.wait()
+    if quantized:
+        ksr.wait()
+        vsr.wait()
 
     # commit gate (pipeline-parallel ring: non-active stages rewrite the
     # window unchanged — see models/llama.py pp schedule)
-    commit = commit_ref[0] != 0
-
-    def merge(o):
+    def merge_data(o):
         def _do():
-            kwin[:, o : o + bt, :] = jnp.where(
-                commit, knew_ref[0], kwin[:, o : o + bt, :]
-            )
-            vwin[:, o : o + bt, :] = jnp.where(
-                commit, vnew_ref[0], vwin[:, o : o + bt, :]
-            )
+            kwin[:, o : o + bt, :] = jnp.where(commit, k_rows, kwin[:, o : o + bt, :])
+            vwin[:, o : o + bt, :] = jnp.where(commit, v_rows, vwin[:, o : o + bt, :])
         return _do
 
     # off is dynamic but bounded: static-slice merge selected by switch
-    jax.lax.switch(off, [merge(o) for o in range(w - bt + 1)])
+    jax.lax.switch(off, [merge_data(o) for o in range(w - bt + 1)])
 
-    kw = pltpu.make_async_copy(
-        kwin, k_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
-        wsems.at[0],
-    )
-    vw = pltpu.make_async_copy(
-        vwin, v_out.at[layer, b, pl.ds(hb * hg, hg), pl.ds(win0, w), :],
-        wsems.at[1],
-    )
-    kw.start()
-    vw.start()
-    kw.wait()
-    vw.wait()
+    writes = [
+        pltpu.make_async_copy(kwin, data_at(k_out), wsems.at[0]),
+        pltpu.make_async_copy(vwin, data_at(v_out), wsems.at[1]),
+    ]
+
+    if quantized:
+        # scatter scales [HG, BT] to this program's head lanes of [BT, H]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 1)
+            == hb * hg + jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 0)
+        ).astype(jnp.float32)
+        k_sc_bt = jax.lax.dot_general(  # [BT, H]
+            ksc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        v_sc_bt = jax.lax.dot_general(
+            vsc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n_heads), 1)
+        own = (lane >= hb * hg) & (lane < hb * hg + hg)
+
+        def merge_scale(o):
+            def _do():
+                kswin[o : o + bt, :] = jnp.where(
+                    own & commit, k_sc_bt, kswin[o : o + bt, :]
+                )
+                vswin[o : o + bt, :] = jnp.where(
+                    own & commit, v_sc_bt, vswin[o : o + bt, :]
+                )
+            return _do
+
+        jax.lax.switch(soff, [merge_scale(o) for o in range(ws - bt + 1)])
+        writes += [
+            pltpu.make_async_copy(kswin, scale_at(ks_out), swsems.at[0]),
+            pltpu.make_async_copy(vswin, scale_at(vs_out), swsems.at[1]),
+        ]
+
+    for c in writes:
+        c.start()
+    for c in writes:
+        c.wait()
     _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
-            block_t=block_t, block_k=block_k, scale=scale)
+            ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
+            ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
+            babs=babs, block_t=block_t, block_k=block_k, scale=scale)
 
 
-def _kernel(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
-            block_t: int, block_k: int, scale: float):
+def _read_kernel(*args, quantized: bool, ring: bool, block_t: int,
+                 block_k: int, scale: float):
+    """Generic read-path entry: unpacks the (quantized x ring)-dependent
+    positional ref list Pallas passes and routes to _attend."""
+    it = iter(args)
+    idx_ref, npast_ref, boff_ref = next(it), next(it), next(it)
+    q_ref, k_hbm, v_hbm = next(it), next(it), next(it)
+    ks_hbm = next(it) if quantized else None
+    vs_hbm = next(it) if quantized else None
+    pos_hbm = next(it) if ring else None
+    o_ref = next(it)
+    kbuf, vbuf, sems = next(it), next(it), next(it)
+    ksbuf = vsbuf = ssems = posbuf = psems = None
+    if quantized:
+        ksbuf, vsbuf, ssems = next(it), next(it), next(it)
+    if ring:
+        posbuf, psems = next(it), next(it)
+    babs = boff_ref[0] + pl.program_id(0)
     _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
-            block_t=block_t, block_k=block_k, scale=scale)
+            ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
+            ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
+            babs=babs, block_t=block_t, block_k=block_k, scale=scale)
 
 
-def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
+def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
+            ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
+            pos_hbm=None, posbuf=None, psems=None, babs=None, *,
             block_t: int, block_k: int, scale: float):
     """One program: HG heads x BT queries against the ragged cache prefix.
 
     HG > 1 (decode) makes each DMA HG x (BK x D) — per-program DMA startup
     latency amortizes over 8x the bytes, which is what batched decode needs
-    (256 tiny per-head programs were latency-bound)."""
+    (256 tiny per-head programs were latency-bound).
+
+    Quantized cache (ks_hbm/vs_hbm given): K/V blocks arrive int8 and per-row
+    f32 scales [BK, H] ride their own double-buffered DMAs. Scales fold into
+    the matmuls algebraically — scores *= kscale (per key row) after the QK
+    product and p *= vscale before the PV product — so the int8 blocks only
+    pay one int8→bf16 convert, never a full [BK, D] dequant multiply. The
+    per-program head slice of the [BK, H] scale tile is extracted with a
+    one-hot [HG, H] matmul: no lane-axis slicing, so any H / HG stays
+    DMA-aligned."""
     b = pl.program_id(0)
     hb = pl.program_id(1)
     tb = pl.program_id(2)
     layer = idx_ref[0]
     npast = npast_ref[b]
     t0 = tb * block_t
+    quantized = ks_hbm is not None
+    ring = pos_hbm is not None
+    if babs is None:
+        babs = b  # absolute cache batch row (pp microbatch offset)
 
     q = q_ref[0].astype(jnp.float32) * scale  # [HG, BT, D]
     hg, bt, d = q.shape
 
     # rows of this block see cache positions [0, npast + t0 + BT - 1];
     # clamp to the cache extent — query-padding rows (tpad > t) would
-    # otherwise push the DMA bound past the last cache row (OOB read)
+    # otherwise push the DMA bound past the last cache row (OOB read).
+    # Ring mode (pos_hbm given): rows live anywhere in the ring — scan all of
+    # it; validity comes from the per-row logical positions, not the bound.
     s_total = k_hbm.shape[3]
-    limit = jnp.minimum(npast + t0 + bt, s_total)
-    nblocks = pl.cdiv(limit, block_k)
+    if ring:
+        nblocks = s_total // block_k
+    else:
+        limit = jnp.minimum(npast + t0 + bt, s_total)
+        nblocks = pl.cdiv(limit, block_k)
 
     def k_dma(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[layer, b, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
+            k_hbm.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
             kbuf.at[slot],
             sems.at[0, slot],
         )
 
     def v_dma(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[layer, b, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
+            v_hbm.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
             vbuf.at[slot],
             sems.at[1, slot],
         )
 
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
+    def scale_dmas(slot, i):
+        return [
+            pltpu.make_async_copy(
+                s_hbm.at[layer, babs, pl.ds(i * block_k, block_k), :],
+                sbuf.at[slot],
+                ssems.at[j, slot],
+            )
+            for j, (s_hbm, sbuf) in enumerate(((ks_hbm, ksbuf), (vs_hbm, vsbuf)))
+        ]
+
+    def pos_dma(slot, i):
+        return pltpu.make_async_copy(
+            pos_hbm.at[pl.ds(i * block_k, block_k), :], posbuf.at[slot],
+            psems.at[slot],
+        )
+
+    def start_dmas(slot, i):
+        k_dma(slot, i).start()
+        v_dma(slot, i).start()
+        if quantized:
+            for c in scale_dmas(slot, i):
+                c.start()
+        if ring:
+            pos_dma(slot, i).start()
+
+    def wait_dmas(slot, i):
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+        if quantized:
+            for c in scale_dmas(slot, i):
+                c.wait()
+        if ring:
+            pos_dma(slot, i).wait()
+
+    start_dmas(0, 0)
+
+    if quantized:
+        # one-hot head selector [HG, H]: row g picks head hb*hg + g
+        n_heads = ks_hbm.shape[3]  # ks_hbm: [L, B, S, H]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 1)
+            == hb * hg + jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 0)
+        ).astype(jnp.float32)
+    if ring:
+        # one-hot batch-row selector [1, B] for the [BK, B] position tiles
+        n_b = pos_hbm.shape[1]
+        onehot_b = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n_b), 1) == babs
+        ).astype(jnp.float32)
 
     row_pos = npast + t0 + jax.lax.broadcasted_iota(jnp.int32, (1, bt, 1), 1)
 
@@ -202,27 +378,61 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 
         @pl.when(i + 1 < nblocks)
         def _():
-            k_dma(1 - slot, i + 1).start()
-            v_dma(1 - slot, i + 1).start()
+            start_dmas(1 - slot, i + 1)
 
-        k_dma(slot, i).wait()
-        v_dma(slot, i).wait()
+        wait_dmas(slot, i)
 
         kk = kbuf[slot]  # [HG, BK, D] storage dtype
+        mul_dtype = jnp.bfloat16 if quantized else kk.dtype
         s = jax.lax.dot_general(
-            q.astype(kk.dtype), kk,
+            q.astype(mul_dtype), kk.astype(mul_dtype),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [HG, BT, BK]
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, bt, block_k), 2)
-        s = jnp.where(col <= row_pos, s, _NEG)
+        if quantized:
+            ksc = jax.lax.dot_general(  # [HG, BK]: this program's head rows
+                onehot, ksbuf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * ksc[:, None, :]
+        if ring:
+            # per-row logical positions (f32 via one-hot matmul; positions
+            # < 2^24 are exact): visible iff 0 <= pos <= query position
+            posb = jax.lax.dot_general(
+                onehot_b, posbuf[slot].astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, BK]
+            visible = (posb[:, None, :] >= 0) & (
+                posb[:, None, :] <= row_pos.astype(jnp.float32)
+            )  # [1, BT, BK]
+            s = jnp.where(visible, s, _NEG)
+        else:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bt, block_k), 2
+            )
+            s = jnp.where(col <= row_pos, s, _NEG)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
+        if ring:
+            # a block (even the first) can be fully masked for a row — kill
+            # the exp(_NEG - _NEG) = 1 artifact of the running-max init
+            p = jnp.where(s <= _NEG * 0.5, 0.0, p)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            vsc = jax.lax.dot_general(
+                onehot, vsbuf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = p * vsc[:, None, :]
+        vv = vbuf[slot]
+        vmul = jnp.bfloat16 if quantized else vv.dtype
         pv = jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot],
+            p.astype(vmul), vv.astype(vmul),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [HG, BT, D]
@@ -248,17 +458,35 @@ def flash_attention(
     block_k: int = 256,
     layer_idx: jax.Array | None = None,
     heads_per_program: int | None = None,
+    k_scale: jax.Array | None = None,  # [(L,) B, S, H] f32: int8 cache rows
+    v_scale: jax.Array | None = None,
+    kv_pos: jax.Array | None = None,  # [S, B] int32: history-ring positions
+    batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
 ) -> jax.Array:
     """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
     DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
-    lax.scan dynamic-slice would materialize."""
+    lax.scan dynamic-slice would materialize.
+
+    k_scale/v_scale: per-row dequant scales of an int8 cache (layout in
+    ops/kv_quant.py); k/v must then be int8.
+
+    kv_pos: per-row logical positions of a history-ring cache (the
+    generalization of the reference's historyIndex ring,
+    vulkan/llama-vk.cpp:984-987): row j is visible to a query at logical
+    position p iff 0 <= kv_pos[j] <= p. The whole ring is scanned; masking
+    replaces the prefix bound."""
+    quantized = k_scale is not None
+    ring = kv_pos is not None
     if layer_idx is None:
         k = k[None]
         v = v[None]
+        if quantized:
+            k_scale = k_scale[None]
+            v_scale = v_scale[None]
         layer_idx = jnp.int32(0)
     b, t, h, d = q.shape
     s = k.shape[3]
-    bk = _fit_block_k(block_k, s)
+    bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
     bt = min(block_t, t)
     tpad = -(-t // bt) * bt
     if tpad != t:
@@ -282,12 +510,31 @@ def flash_attention(
 
     grid = (b, h // hg, tpad // bt)
     kernel = functools.partial(
-        _kernel, block_t=bt, block_k=bk, scale=1.0 / (d**0.5)
+        _read_kernel, quantized=quantized, ring=ring, block_t=bt, block_k=bk,
+        scale=1.0 / (d**0.5),
     )
+    extra_in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
+        2 * quantized + ring
+    )
+    extra_scratch = []
+    extra_args = []
+    if quantized:
+        extra_scratch += [
+            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        extra_args += [k_scale, v_scale]
+    if ring:
+        extra_scratch += [
+            pltpu.VMEM((2, bk, kv_pos.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        extra_args += [kv_pos]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -296,6 +543,7 @@ def flash_attention(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                *extra_in_specs,
             ],
             out_specs=pl.BlockSpec(
                 (1, hg, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
@@ -305,6 +553,7 @@ def flash_attention(
                 pltpu.VMEM((2, hg, bk, d), k.dtype),
                 pltpu.VMEM((2, hg, bk, d), v.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
+                *extra_scratch,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, tpad, d), jnp.float32),
@@ -312,7 +561,11 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode(),
-    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec, qt, k, v)
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec,
+        jnp.asarray(batch_offset, jnp.int32).reshape(1), qt, k, v,
+        *extra_args,
+    )
     return out.transpose(0, 2, 1, 3)[:, :t]
 
 
@@ -331,20 +584,40 @@ def flash_attention_update(
     block_k: int = 256,
     heads_per_program: int | None = None,
     commit: jax.Array | bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    k_scale: jax.Array | None = None,  # [L, B, S, H] f32: int8 cache
+    v_scale: jax.Array | None = None,
+    kv_pos: jax.Array | None = None,  # [S, B] int32: history-ring positions
+    write_row: jax.Array | None = None,  # [B] int32 physical start rows
+    batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
+):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
-    attends. Returns (out [B,T,H,D] f32, k, v) with k/v updated in place.
+    attends. Returns (out [B,T,H,D] f32, k, v) with k/v updated in place —
+    plus the updated (k_scale, v_scale) when the cache is int8 (the kernel
+    quantizes the new rows itself; k_new/v_new arrive unquantized).
     Requires T % block_t == 0 so no query-padding rows write garbage.
-    `commit=False` leaves the cache unchanged (pipeline-parallel idle hops)."""
+    `commit=False` leaves the cache unchanged (pipeline-parallel idle hops).
+
+    History-ring mode (kv_pos given): rows land at physical rows
+    [write_row[b], +T) while n_past stays the LOGICAL query position; kv_pos
+    must already hold the new rows' logical positions (the caller updates it
+    before this kernel — it is read, not written, here). [write_row, +T) must
+    not cross the ring end (caller invariant)."""
+    quantized = k_scale is not None
+    ring = kv_pos is not None
     b, t, h, d = q.shape
     s = k.shape[3]
-    bk = _fit_block_k(block_k, s)
+    bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
     bt = min(block_t, t)
     assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
-    assert s % 8 == 0, f"KV cache length must be a multiple of 8, got {s}"
-    wwin = min(-(-(bt + 7) // 8) * 8, s)  # RMW window rows (8-aligned)
+    step = 32 if quantized else 8
+    assert s % step == 0, f"KV cache length must be a multiple of {step}, got {s}"
+    wwin = min(-(-(bt + step - 1) // step) * step, s)  # data RMW window rows
     npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
+    if write_row is None:
+        wrow_vec = npast_vec
+    else:
+        wrow_vec = jnp.broadcast_to(jnp.asarray(write_row, jnp.int32), (b,))
 
     hg = heads_per_program
     if hg is None:
@@ -354,63 +627,105 @@ def flash_attention_update(
     hg = max(hg, 1)
 
     qt = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
-    knt = k_new.transpose(0, 2, 1, 3).astype(k.dtype)
-    vnt = v_new.transpose(0, 2, 1, 3).astype(v.dtype)
+    knt = k_new.transpose(0, 2, 1, 3)
+    vnt = v_new.transpose(0, 2, 1, 3)
+    if not quantized:
+        knt = knt.astype(k.dtype)
+        vnt = vnt.astype(v.dtype)
 
     grid = (b, h // hg, t // bt)
-    kernel = functools.partial(
-        _kernel_update, block_t=bt, block_k=bk, scale=1.0 / (d**0.5)
-    )
     blk = pl.BlockSpec(
         (1, hg, bt, d), lambda b_, h_, t_, *prefetch: (b_, h_, t_, 0),
         memory_space=pltpu.VMEM,
     )
-    out, k, v = pl.pallas_call(
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    kernel = functools.partial(
+        _update_kernel, quantized=quantized, ring=ring,
+        block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+    )
+    # operand assembly (must mirror _update_kernel's unpacking order):
+    # scalars: layer_idx, npast, wrow, commit, batch_offset
+    # inputs:  q, k_new, v_new, k, v, [k_scale, v_scale], [kv_pos]
+    # outputs: o, k, v, [k_scale, v_scale]
+    in_specs = [blk, blk, blk, any_spec, any_spec]
+    out_specs = [blk, any_spec, any_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    operands = [qt, knt, vnt, k, v]
+    # aliases index the FLATTENED inputs (scalar-prefetch args included):
+    # 5 scalars + q,knew,vnew → k is input 8, v 9, scales 10, 11
+    aliases = {8: 1, 9: 2}
+    scratch = [
+        pltpu.VMEM((2, hg, bk, d), k.dtype),
+        pltpu.VMEM((2, hg, bk, d), v.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if quantized:
+        swin = min(-(-(bt + 7) // 8) * 8, s)  # scale RMW window rows
+        in_specs += [any_spec, any_spec]
+        out_specs += [any_spec, any_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+        operands += [k_scale, v_scale]
+        aliases.update({10: 3, 11: 4})
+        scratch += [
+            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    if ring:
+        in_specs += [any_spec]
+        operands += [kv_pos]
+        scratch += [
+            pltpu.VMEM((2, bk, kv_pos.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch += [
+        pltpu.VMEM((hg, wwin, d), k.dtype),
+        pltpu.VMEM((hg, wwin, d), v.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((swin, h), jnp.float32),
+            pltpu.VMEM((swin, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=grid,
-            in_specs=[
-                blk,  # q
-                blk,  # k_new
-                blk,  # v_new
-                pl.BlockSpec(memory_space=pl.ANY),  # k cache (aliased)
-                pl.BlockSpec(memory_space=pl.ANY),  # v cache (aliased)
-            ],
-            out_specs=[
-                blk,
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, hg, bk, d), k.dtype),
-                pltpu.VMEM((2, hg, bk, d), v.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((hg, wwin, d), k.dtype),
-                pltpu.VMEM((hg, wwin, d), v.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        # flattened input positions: 0=layer_idx, 1=npast, 2=commit, 3=q,
-        # 4=k_new, 5=v_new, 6=k cache, 7=v cache → outputs 1, 2
-        input_output_aliases={6: 1, 7: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # h must be 'arbitrary' when head-programs RMW shared scale
+            # windows (quantized); otherwise head slices are disjoint
+            dimension_semantics=(
+                "parallel",
+                "arbitrary" if quantized else "parallel",
+                "arbitrary",
+            ),
         ),
         interpret=interpret_mode(),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         npast_vec,
+        wrow_vec,
         jnp.asarray(commit, jnp.int32).reshape(1),
-        qt,
-        knt,
-        vnt,
-        k,
-        v,
+        jnp.asarray(batch_offset, jnp.int32).reshape(1),
+        *operands,
     )
-    return out.transpose(0, 2, 1, 3), k, v
+    out = results[0].transpose(0, 2, 1, 3)
+    if quantized:
+        return (out,) + tuple(results[1:5])
+    return out, results[1], results[2]

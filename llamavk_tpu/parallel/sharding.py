@@ -97,10 +97,18 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
     )
 
 
-def cache_pspec() -> KVCache:
-    """KV cache [L, B, H, S, D]: layers on pp, batch on dp, heads on tp."""
+def cache_pspec(quantized: bool = False, ring: bool = False) -> KVCache:
+    """KV cache [L, B, H, S, D]: layers on pp, batch on dp, heads on tp.
+    int8 caches add per-row scales [L, B, S, H] (heads still on tp); ring
+    caches add the position plane [S, B] (batch on dp)."""
     s = P("pp", "dp", "tp", None, None)
-    return KVCache(k=s, v=s)
+    extra = {}
+    if quantized:
+        sc = P("pp", "dp", None, "tp")
+        extra.update(k_scale=sc, v_scale=sc)
+    if ring:
+        extra.update(pos=P(None, "dp"))
+    return KVCache(k=s, v=s, **extra)
 
 
 def _spec_leaves(tree):
@@ -116,7 +124,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
 
 def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    specs = cache_pspec()
+    specs = cache_pspec(quantized=cache.quantized, ring=cache.ring)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )

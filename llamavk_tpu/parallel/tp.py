@@ -22,9 +22,14 @@ def make_sharded_forward(
     params: LlamaParams,
     mesh: Mesh,
     logits_all: bool = False,
+    pp_microbatch: int = 1,
 ):
     """Returns a jitted fn(params, tokens, cache, n_past) running TP+DP over
-    the mesh. tokens: [B, T] with B divisible by the dp axis size."""
+    the mesh. tokens: [B, T] with B divisible by the dp axis size.
+
+    pp_microbatch > 1 interleaves that many microbatches across the pp
+    stages (GPipe-style: utilization M/(M+P-1) instead of 1/P per
+    activation); the per-device batch must divide by it."""
     pspecs = param_pspecs(params)
     cspec = cache_pspec()
 
@@ -36,6 +41,7 @@ def make_sharded_forward(
             p, tokens, cache, n_past, cfg,
             logits_all=logits_all, tp_axis="tp", tp_size=tp_size,
             pp_axis="pp" if pp_size > 1 else None, pp_size=pp_size,
+            pp_microbatch=pp_microbatch if pp_size > 1 else 1,
         )
         return logits, new_cache, emb
 

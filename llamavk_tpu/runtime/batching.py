@@ -57,6 +57,8 @@ class BatchConfig:
     top_k: int = 64  # static sampler pool (max of per-request top_k)
     repeat_last_n: int = 64
     kv_dtype: str = "bfloat16"
+    admit_chunk: int = 4  # max requests per batched admission prefill
+    # (chunks are power-of-two sized: bounded set of compiled variants)
 
 
 class BatchedEngine:
@@ -78,28 +80,33 @@ class BatchedEngine:
         self.slots: list[Request | None] = [None] * b
         self.queue: list[Request] = []
         self._rid = 0
-        self.stats = {"tokens": 0, "steps": 0, "t_decode": 0.0, "prefills": 0}
+        self.stats = {
+            "tokens": 0, "steps": 0, "t_decode": 0.0, "prefills": 0,
+            "prefill_calls": 0,
+        }
 
         cfg_ = cfg
 
         @jax.jit
-        def _prefill(params, tokens, cache1, last_idx):
-            # logits_all + dynamic select: prompts are bucket-padded, so the
-            # real last position is last_idx, not -1
-            logits, cache1, _ = llama_forward(
-                params, tokens, cache1, jnp.int32(0), cfg_, logits_all=True
+        def _prefill(params, tokens, cacheN, last_idx):
+            # batched admission prefill: N prompts (same bucket length) in one
+            # program; per-row true final positions via vector last_idx
+            logits, cacheN, _ = llama_forward(
+                params, tokens, cacheN, jnp.int32(0), cfg_, last_idx=last_idx
             )
-            return logits[0, last_idx, :], cache1
+            return logits[:, 0, :], cacheN  # [N, V]
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def _insert_slot(cache, cache1, slot):
-            k = jax.lax.dynamic_update_slice(
-                cache.k, cache1.k, (0, slot, 0, 0, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                cache.v, cache1.v, (0, slot, 0, 0, 0)
-            )
-            return type(cache)(k=k, v=v)
+        @partial(jax.jit, donate_argnums=(0,))
+        def _insert_row(cache, cacheN, row, slot):
+            # move prefilled row `row` of the scratch cache into slot `slot`
+            def ins(c, cN):
+                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
+                return jax.lax.dynamic_update_slice(
+                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+                )
+
+            return jax.tree.map(ins, cache, cacheN)
+
 
         @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode(params, cache, toks0, last, keys, n_past, top_p, temp, penalty,
@@ -124,7 +131,7 @@ class BatchedEngine:
             return out.T, cache, last, keys  # out: [B, n_steps]
 
         self._prefill = _prefill
-        self._insert_slot = _insert_slot
+        self._insert_row = _insert_row
         self._decode = _decode
 
     # --- public API -------------------------------------------------------
@@ -141,66 +148,96 @@ class BatchedEngine:
         return req
 
     def _admit(self) -> None:
-        """Fill free slots from the queue.
+        """Fill free slots from the queue, batching prefills.
 
-        Two phases so the (high-latency) device round-trips overlap: phase 1
-        dispatches every admitted request's prefill + slot insert + first-token
-        sample asynchronously; phase 2 materializes the sampled ids with one
-        sync per request AFTER everything is in flight."""
-        from .sampling import sample_token
-
-        pending = []  # (req, slot, device token)
-        for slot in range(self.bcfg.max_batch):
-            if self.slots[slot] is not None or not self.queue:
-                continue
+        Admissions group by prompt bucket length and run in power-of-two-sized
+        chunks (bounded compiled variants, capped by bcfg.admit_chunk): one
+        batched prefill + one batched first-token sample per chunk, per-row
+        cache inserts dispatched asynchronously. Phase 1 gets every chunk's
+        device work in flight; phase 2 syncs the sampled ids chunk by chunk —
+        the (high-latency, ~30 ms) device round-trips all overlap."""
+        free = [s for s in range(self.bcfg.max_batch) if self.slots[s] is None]
+        admitted = []
+        while free and self.queue:
             req = self.queue.pop(0)
-            req.slot = slot
-            self.slots[slot] = req
-            # prefill into a scratch single-row cache, then insert
-            cache1 = init_kv_cache(
-                self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
-            )
-            # pad the prompt to a bucket length so prefill compiles per bucket,
-            # not per prompt length; garbage KV past the prompt is overwritten
-            # by decode writes before it can ever be attended
-            plen = len(req.prompt)
-            bucket = 8
-            while bucket < plen:
-                bucket *= 2
-            bucket = min(bucket, self.bcfg.n_ctx)
-            padded = np.zeros(bucket, np.int32)
-            padded[:plen] = req.prompt
-            logits, cache1 = self._prefill(
-                self.params, jnp.asarray(padded)[None], cache1, jnp.int32(plen - 1)
-            )  # [V]
-            self.cache = self._insert_slot(self.cache, cache1, jnp.int32(slot))
-            self.stats["prefills"] += 1
-            # first-token sample stays on device until phase 2
-            w = self.bcfg.repeat_last_n
-            hist = req.prompt[-w:]
-            self.last_window[slot] = -1
-            if hist:
-                self.last_window[slot, -len(hist):] = hist
-            sp = req.sp
-            self.top_p[slot] = sp.top_p
-            self.temp[slot] = sp.temp
-            self.penalty[slot] = sp.repeat_penalty
-            self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
-            tok_dev = sample_token(
-                logits,
-                jnp.asarray(self.last_window[slot]),
-                jax.random.key(req.seed + 1),
-                sp,
-            )
-            self.n_past[slot] = plen
-            pending.append((req, slot, tok_dev))
+            req.slot = free.pop(0)
+            self.slots[req.slot] = req
+            admitted.append(req)
+        if not admitted:
+            return
 
-        for req, slot, tok_dev in pending:
-            tok = int(tok_dev)
-            self._emit(req, tok)
-            self.cur_tok[slot] = tok
-            self.last_window[slot] = np.roll(self.last_window[slot], -1)
-            self.last_window[slot, -1] = tok
+        def bucket_of(plen: int) -> int:
+            b = 8
+            while b < plen:
+                b *= 2
+            return min(b, self.bcfg.n_ctx)
+
+        groups: dict[int, list[Request]] = {}
+        for req in admitted:
+            groups.setdefault(bucket_of(len(req.prompt)), []).append(req)
+
+        w = self.bcfg.repeat_last_n
+        pending = []  # (chunk requests, device ids [n])
+        for bucket, items in groups.items():
+            i = 0
+            while i < len(items):
+                n = 1 << max(0, (len(items) - i).bit_length() - 1)
+                n = min(n, max(1, self.bcfg.admit_chunk))
+                chunk = items[i : i + n]
+                i += n
+                toks = np.zeros((n, bucket), np.int32)
+                last_idx = np.zeros(n, np.int32)
+                seeds = np.zeros(n, np.int64)
+                for j, req in enumerate(chunk):
+                    plen = len(req.prompt)
+                    toks[j, :plen] = req.prompt
+                    last_idx[j] = plen - 1
+                    seeds[j] = req.seed
+                    slot = req.slot
+                    hist = req.prompt[-w:]
+                    self.last_window[slot] = -1
+                    if hist:
+                        self.last_window[slot, -len(hist):] = hist
+                    self.top_p[slot] = req.sp.top_p
+                    self.temp[slot] = req.sp.temp
+                    self.penalty[slot] = req.sp.repeat_penalty
+                    self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
+                    self.n_past[slot] = plen
+                # one batched prefill for the chunk, then per-row inserts
+                cacheN = init_kv_cache(
+                    self.cfg, n, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
+                )
+                logits, cacheN = self._prefill(
+                    self.params, jnp.asarray(toks), cacheN, jnp.asarray(last_idx)
+                )  # [n, V]
+                for j, req in enumerate(chunk):
+                    self.cache = self._insert_row(
+                        self.cache, cacheN, jnp.int32(j), jnp.int32(req.slot)
+                    )
+                self.stats["prefills"] += n
+                self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
+                subs = jax.vmap(jax.random.key)(jnp.asarray(seeds) + 1)
+                rows = np.asarray([r.slot for r in chunk])
+                ids = sample_tokens_batched(
+                    logits,
+                    jnp.asarray(self.last_window[rows]),
+                    subs,
+                    self.bcfg.top_k,
+                    jnp.asarray(self.top_p[rows]),
+                    jnp.asarray(self.temp[rows]),
+                    jnp.asarray(self.penalty[rows]),
+                )
+                pending.append((chunk, ids))
+
+        for chunk, ids in pending:
+            ids = np.asarray(ids)
+            for j, req in enumerate(chunk):
+                tok = int(ids[j])
+                slot = req.slot
+                self._emit(req, tok)
+                self.cur_tok[slot] = tok
+                self.last_window[slot] = np.roll(self.last_window[slot], -1)
+                self.last_window[slot, -1] = tok
 
     def _emit(self, req: Request, tok: int) -> None:
         req.generated.append(tok)

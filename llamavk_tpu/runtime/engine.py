@@ -35,6 +35,10 @@ class EngineConfig:
     seed: int = 0
     decode_block: int = 16  # tokens decoded per device round-trip (1 = stream
     # every token; larger amortizes host latency)
+    ctx_ring: bool = False  # history-ring KV: infinite generation without
+    # the reference CLI's swap-and-re-eval (keeps ring_keep pinned rows +
+    # the most recent n_ctx - ring_keep positions)
+    ring_keep: int = 0
 
 
 @dataclass
@@ -46,6 +50,9 @@ class SessionState:
     v: np.ndarray
     n_past: int
     tokens: list[int]
+    k_scale: np.ndarray | None = None  # int8 KV caches (ops/kv_quant.py)
+    v_scale: np.ndarray | None = None
+    pos: np.ndarray | None = None  # history-ring position plane
 
 
 @dataclass
@@ -74,7 +81,7 @@ class Timings:
         return "\n".join(lines)
 
 
-def make_decode_block(cfg: ModelConfig):
+def make_decode_block(cfg: ModelConfig, ring_keep: int = 0):
     """Build the jitted device-side decode loop for a model config.
 
     Returns fn(params, tok0, cache, last_tokens, key, n_past, sp, n_steps,
@@ -88,7 +95,8 @@ def make_decode_block(cfg: ModelConfig):
         def scan_body(state, i):
             tok, cache, last, key = state
             logits, cache, _ = llama_forward(
-                params, tok.reshape(1, 1), cache, n_past + i, cfg
+                params, tok.reshape(1, 1), cache, n_past + i, cfg,
+                ring_keep=ring_keep,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(logits[0, -1], last, sub, sp)
@@ -119,26 +127,33 @@ class Engine:
         self.reset()
 
         cfg_ = cfg
+        rk = ecfg.ring_keep
 
         @partial(jax.jit, static_argnames=("logits_all",))
         def _prefill(params, tokens, cache, n_past, last_idx, logits_all=False):
             return llama_forward(
                 params, tokens, cache, n_past, cfg_,
-                logits_all=logits_all, last_idx=last_idx,
+                logits_all=logits_all, last_idx=last_idx, ring_keep=rk,
             )
 
         self._prefill = _prefill
-        self._decode_block = make_decode_block(cfg)
+        self._decode_block = make_decode_block(cfg, ring_keep=rk)
 
     # --- state ---------------------------------------------------------
 
     def reset(self) -> None:
         self.cache = init_kv_cache(
-            self.cfg, self.ecfg.batch, self.ecfg.n_ctx, dtype=self.kv_dtype
+            self.cfg, self.ecfg.batch, self.ecfg.n_ctx, dtype=self.kv_dtype,
+            ring=self.ecfg.ctx_ring,
         )
         self.n_past = 0
         self.tokens: list[int] = []
         self.key = jax.random.key(self.ecfg.seed)
+
+    def _ring_row(self, pos: int) -> int:
+        """Host twin of models.llama.ring_phys."""
+        s, keep = self.ecfg.n_ctx, self.ecfg.ring_keep
+        return pos if pos < s else keep + (pos - keep) % (s - keep)
 
     def set_seed(self, seed: int) -> None:
         self.key = jax.random.key(seed)
@@ -154,29 +169,50 @@ class Engine:
         backlog = self.tokens[self.n_past :]
         new_toks = [int(t) for t in np.asarray(tokens)]
         full = list(backlog) + new_toks
-        if self.n_past + len(full) > self.ecfg.n_ctx:
+        ring = self.ecfg.ctx_ring
+        if not ring and self.n_past + len(full) > self.ecfg.n_ctx:
             raise ValueError(
                 f"context overflow: n_past({self.n_past}) + n_tokens({len(full)})"
                 f" > n_ctx({self.ecfg.n_ctx})"
             )
         t0 = time.perf_counter()
-        # bucket-pad T to a power of two: prefill compiles once per bucket,
-        # not once per prompt length (~40 s/compile on a 7B). Garbage KV rows
-        # past len(full) sit beyond n_past and are overwritten before any
-        # query can attend to them (same invariant as the batching engine).
-        t_real = len(full)
-        bucket = 1 << (t_real - 1).bit_length()
-        bucket = min(bucket, self.ecfg.n_ctx - self.n_past)
-        padded = full + [0] * (bucket - t_real)
-        toks = jnp.asarray(np.asarray(padded, np.int32))[None]
-        logits, self.cache, self._last_emb = self._prefill(
-            self.params, toks, self.cache, jnp.int32(self.n_past),
-            jnp.int32(t_real - 1), logits_all=logits_all,
-        )
-        logits = np.asarray(logits)[0]
+
+        def eval_chunk(chunk: list[int]):
+            # bucket-pad T to a power of two: prefill compiles once per
+            # bucket, not once per prompt length (~40 s/compile on a 7B).
+            # Garbage KV rows past len(chunk) sit beyond n_past (ring: at
+            # not-yet-valid ring rows) and are overwritten before any query
+            # can attend to them (same invariant as the batching engine).
+            t_real = len(chunk)
+            bucket = 1 << (t_real - 1).bit_length()
+            if ring:
+                bucket = min(bucket, self.ecfg.n_ctx - self._ring_row(self.n_past))
+            else:
+                bucket = min(bucket, self.ecfg.n_ctx - self.n_past)
+            padded = chunk + [0] * (bucket - t_real)
+            toks = jnp.asarray(np.asarray(padded, np.int32))[None]
+            logits, self.cache, self._last_emb = self._prefill(
+                self.params, toks, self.cache, jnp.int32(self.n_past),
+                jnp.int32(t_real - 1), logits_all=logits_all,
+            )
+            self.n_past += t_real
+            return np.asarray(logits)[0][:t_real] if logits_all else np.asarray(logits)[0]
+
+        if ring:
+            # chunk so one eval never crosses the ring's wrap row (the write
+            # window [row, row+T) must stay contiguous in physical rows)
+            parts = []
+            i = 0
+            while i < len(full):
+                room = self.ecfg.n_ctx - self._ring_row(self.n_past)
+                part = full[i : i + room]
+                parts.append(eval_chunk(part))
+                i += len(part)
+            logits = np.concatenate(parts) if logits_all else parts[-1]
+        else:
+            logits = eval_chunk(full)
         if logits_all:
-            logits = logits[len(backlog) : t_real]
-        self.n_past += t_real
+            logits = logits[len(backlog) :]
         self.tokens.extend(new_toks)
         self.timings.t_prompt_us += (time.perf_counter() - t0) * 1e6
         self.timings.n_prompt += len(full)
@@ -201,9 +237,9 @@ class Engine:
         """Prefill the prompt, then decode up to n_predict tokens with the
         device-side loop, surfacing tokens to the host in blocks of
         ecfg.decode_block. on_token returns False to stop early."""
-        assert self.n_past + len(prompt_tokens) + n_predict <= self.ecfg.n_ctx, (
-            "context overflow; use ContextManager for infinite generation"
-        )
+        assert self.ecfg.ctx_ring or (
+            self.n_past + len(prompt_tokens) + n_predict <= self.ecfg.n_ctx
+        ), "context overflow; use ctx_ring or ContextManager for infinite generation"
         if sp.repeat_last_n <= 0:
             # penalty disabled (reference semantics for repeat_last_n=0):
             # keep a 1-slot dummy window and neutralize the penalty factor
@@ -248,7 +284,7 @@ class Engine:
             # compiling a fresh ~40s program per residual budget
             n_req = min(self.ecfg.decode_block, n_predict - len(out))
             n = min(1 << (n_req - 1).bit_length(), self.ecfg.decode_block)
-            while n > self.ecfg.n_ctx - self.n_past:
+            while not self.ecfg.ctx_ring and n > self.ecfg.n_ctx - self.n_past:
                 n //= 2
             toks, cache, last_tokens, key = self._decode_block(
                 self.params,
@@ -284,14 +320,24 @@ class Engine:
     # --- session save/restore (llama_get/set_kv_cache parity) ------------
 
     def save_session(self) -> SessionState:
+        c = self.cache
         return SessionState(
-            k=np.asarray(self.cache.k),
-            v=np.asarray(self.cache.v),
+            k=np.asarray(c.k),
+            v=np.asarray(c.v),
             n_past=self.n_past,
             tokens=list(self.tokens),
+            k_scale=None if c.k_scale is None else np.asarray(c.k_scale),
+            v_scale=None if c.v_scale is None else np.asarray(c.v_scale),
+            pos=None if c.pos is None else np.asarray(c.pos),
         )
 
     def restore_session(self, s: SessionState) -> None:
-        self.cache = KVCache(k=jnp.asarray(s.k), v=jnp.asarray(s.v))
+        self.cache = KVCache(
+            k=jnp.asarray(s.k),
+            v=jnp.asarray(s.v),
+            k_scale=None if s.k_scale is None else jnp.asarray(s.k_scale),
+            v_scale=None if s.v_scale is None else jnp.asarray(s.v_scale),
+            pos=None if s.pos is None else jnp.asarray(s.pos),
+        )
         self.n_past = s.n_past
         self.tokens = list(s.tokens)

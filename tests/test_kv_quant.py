@@ -1,0 +1,200 @@
+"""int8 KV cache: quantizer bounds, flash-kernel read parity, model forward
+parity (flash vs einsum oracle over the same quantized cache), engine e2e."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llamavk_tpu.models import (
+    ModelConfig,
+    init_kv_cache,
+    llama_forward,
+    load_model,
+    random_tiny_model,
+)
+from llamavk_tpu.ops.flash_attn import attention_ref, flash_attention
+from llamavk_tpu.ops.kv_quant import dequantize_rows, quantize_rows
+
+
+def test_quantize_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 5, 64)) * 4.0, jnp.float32)
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (3, 5)
+    back = dequantize_rows(q, s)
+    # absmax symmetric int8: per-row error <= scale/2
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    bound = np.asarray(s)[..., None] * 0.5 + 1e-6
+    assert (err <= bound).all()
+    # zero rows stay exactly zero
+    qz, sz = quantize_rows(jnp.zeros((2, 8)))
+    assert np.asarray(dequantize_rows(qz, sz)).sum() == 0
+
+
+@pytest.mark.parametrize(
+    "b,t,h,s,d,n_past",
+    [
+        (1, 1, 2, 64, 32, 17),   # decode, ragged mid-block
+        (2, 8, 2, 64, 32, 13),   # small batch
+        (1, 64, 4, 128, 64, 0),  # prefill, multiple q blocks, hg split
+    ],
+)
+def test_flash_quantized_read(b, t, h, s, d, n_past):
+    rng = np.random.default_rng(1)
+    kv_len = n_past + t
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.zeros((b, h, s, d), jnp.float32).at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.float32)
+    )
+    v = jnp.zeros((b, h, s, d), jnp.float32).at[:, :, :kv_len].set(
+        jnp.asarray(rng.standard_normal((b, h, kv_len, d)), jnp.float32)
+    )
+    kq, ks = quantize_rows(k)  # ks: [B, H, S]
+    vq, vs = quantize_rows(v)
+    # reference over the dequantized cache (identical values, dense path)
+    ref = attention_ref(
+        q, dequantize_rows(kq, ks), dequantize_rows(vq, vs), jnp.int32(n_past)
+    )
+    got = flash_attention(
+        q, kq, vq, jnp.int32(n_past), block_t=32, block_k=32,
+        k_scale=ks.transpose(0, 2, 1), v_scale=vs.transpose(0, 2, 1),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_update_quantized_matches_manual():
+    """Fused in-kernel quantize+write+attend vs quantize_rows + manual insert
+    + dense reference: outputs close, cache bytes exactly equal."""
+    from llamavk_tpu.ops.flash_attn import flash_attention_update
+
+    rng = np.random.default_rng(7)
+    L, b, t, h, s, d = 3, 2, 4, 2, 64, 32
+    n_past = jnp.asarray([10, 3], jnp.int32)
+    layer = jnp.int32(1)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.integers(-127, 128, (L, b, h, s, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 128, (L, b, h, s, d)), jnp.int8)
+    kcs = jnp.asarray(rng.uniform(0.001, 0.1, (L, b, s, h)), jnp.float32)
+    vcs = jnp.asarray(rng.uniform(0.001, 0.1, (L, b, s, h)), jnp.float32)
+
+    # manual: quantize rows, insert per batch row, dense ref on dequant layer 1
+    knq, kns = quantize_rows(k_new)  # [b,t,h,d] int8, [b,t,h]
+    vnq, vns = quantize_rows(v_new)
+    kc_ref, vc_ref = np.asarray(kc).copy(), np.asarray(vc).copy()
+    kcs_ref, vcs_ref = np.asarray(kcs).copy(), np.asarray(vcs).copy()
+    for bi in range(b):
+        p = int(n_past[bi])
+        kc_ref[1, bi, :, p : p + t] = np.asarray(knq)[bi].transpose(1, 0, 2)
+        vc_ref[1, bi, :, p : p + t] = np.asarray(vnq)[bi].transpose(1, 0, 2)
+        kcs_ref[1, bi, p : p + t] = np.asarray(kns)[bi]
+        vcs_ref[1, bi, p : p + t] = np.asarray(vns)[bi]
+    kf = kc_ref[1].astype(np.float32) * kcs_ref[1].transpose(0, 2, 1)[..., None]
+    vf = vc_ref[1].astype(np.float32) * vcs_ref[1].transpose(0, 2, 1)[..., None]
+    want = attention_ref(q, jnp.asarray(kf), jnp.asarray(vf), n_past)
+
+    out, kc2, vc2, kcs2, vcs2 = flash_attention_update(
+        q, k_new, v_new, kc, vc, n_past, layer, block_t=4, block_k=32,
+        k_scale=kcs, v_scale=vcs,
+    )
+    # bf16 QK/PV matmuls vs the f32 dense ref; int8 rows here have ~12x unit
+    # magnitude so absolute diffs run slightly larger than the bf16-cache test
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
+    np.testing.assert_array_equal(np.asarray(vc2), vc_ref)
+    # scales to 1 f32 ULP (the /127 may compile as *(1/127) on either side)
+    np.testing.assert_allclose(np.asarray(kcs2), kcs_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vcs2), vcs_ref, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny-q4_0.bin")
+    random_tiny_model(write_path=path, quantize=True)
+    cfg, params, tok = load_model(path)
+    return cfg, params
+
+
+def test_forward_int8_flash_vs_einsum(tiny):
+    """Same quantized cache, kernel read path vs the dense dequant oracle."""
+    cfg, params = tiny
+    tokens = jnp.asarray([[5, 17, 250, 3, 99, 1, 2, 7]], jnp.int32)
+    outs = {}
+    for impl in ("flash", "einsum"):
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.int8)
+        assert cache.quantized and cache.k_scale.shape == (cfg.n_layer, 1, 32, cfg.n_head)
+        logits, cache, _ = llama_forward(
+            params, tokens, cache, jnp.int32(0), cfg,
+            logits_all=True, attn_impl=impl,
+        )
+        outs[impl] = (np.asarray(logits), cache)
+    np.testing.assert_allclose(
+        outs["flash"][0], outs["einsum"][0], rtol=2e-2, atol=2e-2
+    )
+    # layer-0 cache agrees exactly (same quantizer; deeper layers see tiny
+    # kernel-vs-einsum attention diffs in their inputs)
+    for leaf, leaf2 in zip(
+        jax.tree.leaves(outs["flash"][1]), jax.tree.leaves(outs["einsum"][1])
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf[0]), np.asarray(leaf2[0]))
+
+
+def test_forward_int8_close_to_bf16(tiny):
+    """int8 KV must track the bf16 cache closely (it only perturbs K/V)."""
+    cfg, params = tiny
+    tokens = jnp.asarray([[5, 17, 250, 3, 99]], jnp.int32)
+    res = {}
+    for dt in (jnp.bfloat16, jnp.int8):
+        cache = init_kv_cache(cfg, 1, 32, dtype=dt)
+        logits, _, _ = llama_forward(
+            params, tokens, cache, jnp.int32(0), cfg, logits_all=True
+        )
+        res[dt] = np.asarray(logits)[0]
+    np.testing.assert_allclose(res[jnp.int8], res[jnp.bfloat16], rtol=0.1, atol=0.2)
+    np.testing.assert_array_equal(
+        res[jnp.int8].argmax(-1), res[jnp.bfloat16].argmax(-1)
+    )
+
+
+def test_engine_int8_generate(tiny):
+    from llamavk_tpu.runtime import Engine, EngineConfig, SamplerParams
+
+    cfg, params = tiny
+    eng = Engine(cfg, params, EngineConfig(n_ctx=64, kv_dtype="int8", decode_block=4))
+    out = eng.generate([5, 9, 2, 30], 8, SamplerParams(temp=0.0), ignore_eos=True)
+    assert len(out) == 8
+    # session snapshot carries the scales; restore reproduces the stream
+    eng.reset()
+    eng.generate([4, 8, 15], 3, SamplerParams(temp=0.0), ignore_eos=True)
+    snap = eng.save_session()
+    assert snap.k_scale is not None
+    cont1 = eng.generate([16], 4, SamplerParams(temp=0.0), ignore_eos=True)
+    eng.reset()
+    eng.restore_session(snap)
+    cont2 = eng.generate([16], 4, SamplerParams(temp=0.0), ignore_eos=True)
+    assert cont1 == cont2
+
+
+def test_batched_engine_int8():
+    from llamavk_tpu.runtime.batching import BatchConfig, BatchedEngine
+
+    path = None
+    cfg, params = None, None
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tiny.bin")
+        random_tiny_model(write_path=path, quantize=True)
+        cfg, params, _ = load_model(path)
+    eng = BatchedEngine(
+        cfg, params, BatchConfig(max_batch=2, n_ctx=32, block=4, kv_dtype="int8")
+    )
+    from llamavk_tpu.runtime import SamplerParams
+
+    r1 = eng.submit([3, 1, 4], 5, SamplerParams(temp=0.0), ignore_eos=True)
+    r2 = eng.submit([2, 7], 6, SamplerParams(temp=0.0), ignore_eos=True)
+    done = eng.run()
+    assert {id(r) for r in done} == {id(r1), id(r2)}
+    assert len(r1.output) == 5 and len(r2.output) == 6

@@ -139,6 +139,44 @@ def test_pp_forward_matches_single(tiny_path, pp, tp, dp):
         )
 
 
+@pytest.mark.parametrize("pp,mb", [(2, 2), (2, 4), (4, 2)])
+def test_pp_microbatched_matches_single(tiny_path, pp, mb):
+    """GPipe-interleaved pp (M microbatches in flight) == single-device, and
+    every microbatch's cache rows are committed exactly once."""
+    from llamavk_tpu.parallel import make_mesh, make_sharded_forward, shard_cache, shard_params
+
+    reader = CheckpointReader(tiny_path)
+    cfg, params1 = params_from_reader(reader, scale_dtype=jnp.float32)
+    _, params_pp = params_from_reader(reader, scale_dtype=jnp.float32)
+    if cfg.n_layer % pp != 0:
+        pytest.skip("pp does not divide n_layer")
+
+    b = mb  # one row per microbatch keeps the test small
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, cfg.n_vocab, (b, 4)).astype(np.int32)
+
+    cache1 = init_kv_cache(cfg, b, 8)
+    want, want_cache, _ = llama_forward(
+        params1, jnp.asarray(tokens), cache1, jnp.int32(0), cfg
+    )
+
+    mesh = make_mesh(tp=1, dp=1, pp=pp, devices=jax.devices()[:pp])
+    params_pp = shard_params(params_pp, mesh)
+    cache = shard_cache(init_kv_cache(cfg, b, 8), mesh)
+    fwd = make_sharded_forward(cfg, params_pp, mesh, pp_microbatch=mb)
+    got, new_cache, _ = fwd(params_pp, jnp.asarray(tokens), cache, jnp.int32(0))
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=6e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_cache.k), np.asarray(want_cache.k), rtol=5e-2, atol=6e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_cache.v), np.asarray(want_cache.v), rtol=5e-2, atol=6e-2
+    )
+
+
 def test_pp_decode_steps(tiny_path):
     """Multi-step decode through the pp ring stays consistent with 1-device."""
     pp = 2

@@ -1,0 +1,65 @@
+"""Speculative decoding: greedy equivalence with the target-only stream —
+regardless of the draft model — plus acceptance accounting."""
+
+import numpy as np
+import pytest
+
+from llamavk_tpu.models import load_model, random_tiny_model
+from llamavk_tpu.runtime import Engine, EngineConfig, SamplerParams
+from llamavk_tpu.runtime.speculative import SpecConfig, SpeculativeEngine
+
+GREEDY = SamplerParams(temp=0.0)
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    d = tmp_path_factory.mktemp("m")
+    tp = str(d / "target.bin")
+    dp = str(d / "draft.bin")
+    random_tiny_model(write_path=tp, quantize=True, seed=0)
+    # unrelated draft: different weights AND a smaller network
+    random_tiny_model(write_path=dp, quantize=True, seed=7, n_layer=1, n_ff=128)
+    cfg_t, params_t, _ = load_model(tp)
+    cfg_d, params_d, _ = load_model(dp)
+    return cfg_t, params_t, cfg_d, params_d
+
+
+def test_spec_equals_target_greedy_unrelated_draft(models):
+    cfg_t, params_t, cfg_d, params_d = models
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=64)).generate(
+        [5, 9, 2, 30], 12, GREEDY, ignore_eos=True
+    )
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_d, params_d,
+        SpecConfig(n_ctx=64, gamma=3, rounds_per_block=4),
+    )
+    got = spec.generate([5, 9, 2, 30], 12, ignore_eos=True)
+    assert got == want
+    assert spec.stats["rounds"] > 0
+
+
+def test_spec_self_draft_accepts_everything(models):
+    """Drafting with the target itself must accept every proposal."""
+    cfg_t, params_t, _, _ = models
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_t, params_t,
+        SpecConfig(n_ctx=64, gamma=4, rounds_per_block=2),
+    )
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=64)).generate(
+        [7, 3, 11], 10, GREEDY, ignore_eos=True
+    )
+    got = spec.generate([7, 3, 11], 10, ignore_eos=True)
+    assert got == want
+    assert spec.acceptance_rate == 1.0
+
+
+def test_spec_gamma_one_degenerates(models):
+    cfg_t, params_t, cfg_d, params_d = models
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_d, params_d,
+        SpecConfig(n_ctx=64, gamma=1, rounds_per_block=4),
+    )
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=64)).generate(
+        [4, 8, 15], 8, GREEDY, ignore_eos=True
+    )
+    assert spec.generate([4, 8, 15], 8, ignore_eos=True) == want

@@ -54,15 +54,17 @@ def main():
             out.append((prompt, plen, npred, i))
         return out
 
-    # warmup: compile every prefill bucket + the decode block once (a serving
-    # process compiles exactly once per shape; measure steady state)
+    # warmup: compile every (prefill bucket x admission chunk size) variant +
+    # the decode block once (a serving process compiles exactly once per
+    # shape; measure steady state). 7 same-bucket submits chunk as 4+2+1.
     log("warmup (jit compilation) ...")
     t0 = time.perf_counter()
     for plen in (7, 15, 31, 63, 127):
-        eng.submit(list(range(10, 10 + plen)), 2, sp=SamplerParams(temp=0.8))
-    eng.run()
+        for _ in range(7):
+            eng.submit(list(range(10, 10 + plen)), 2, sp=SamplerParams(temp=0.8))
+        eng.run()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
-    eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0)
+    eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0, prefill_calls=0)
 
     reqs = []
     load = make_load(args.requests)
@@ -85,7 +87,8 @@ def main():
     log(
         f"stats: decode {st['t_decode']:.1f}s over {st['steps']} scan-steps"
         f" ({st['steps'] and st['t_decode']/st['steps']*1e3:.1f} ms/step),"
-        f" {st['prefills']} prefills; non-decode wall {wall - st['t_decode']:.1f}s"
+        f" {st['prefills']} prefills in {st.get('prefill_calls', 0)} batched calls;"
+        f" non-decode wall {wall - st['t_decode']:.1f}s"
     )
     print(
         f'{{"metric": "LLaMA-{args.model} Q4_0 continuous-batching serving throughput",'
