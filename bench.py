@@ -43,10 +43,12 @@ def main():
     ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
     ap.add_argument("--batch", type=int, default=1, help="decode batch size")
     ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
     args = ap.parse_args()
     model = args.model
     batch = args.batch
     n_ctx = args.n_ctx
+    kv_dtype = jnp.dtype(args.kv_dtype)
     warmup, measure = 16, 128
 
     cfg = ModelConfig(**LLAMA_CONFIGS[model])
@@ -56,7 +58,7 @@ def main():
     jax.block_until_ready(params)
     log(f"params ready in {time.perf_counter() - t0:.1f}s")
 
-    cache = init_kv_cache(cfg, batch, n_ctx)
+    cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)
 
     # device-side decode loop: the sampled token feeds the next step without
     # leaving the chip (the reference's "only a 4-byte result crosses back"
@@ -99,7 +101,7 @@ def main():
         f"prefill: {n_pf} tokens in {best_pf*1e3:.1f} ms = {n_pf/best_pf:.0f} tok/s"
         f" ({best_pf/n_pf*512*1e3:.1f} ms per 512-token chunk-equivalent)"
     )
-    cache = init_kv_cache(cfg, batch, n_ctx)  # fresh for the decode measurement
+    cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)  # fresh for the decode measurement
 
     log("compiling decode loop ...")
     t0 = time.perf_counter()

@@ -166,7 +166,11 @@ def init_kv_cache(
     shape = (cfg.n_layer, batch, h, max_len, cfg.head_dim)
     extra = {}
     if dtype == jnp.int8:
-        sshape = (cfg.n_layer, batch, max_len, h)
+        # head lanes padded to the 128-lane tile: Mosaic DMA slice SHAPES on
+        # the minor dim must be 128-aligned, and XLA pads the HBM footprint
+        # to 128 lanes anyway — the padding costs nothing extra
+        h_pad = -(-h // 128) * 128
+        sshape = (cfg.n_layer, batch, max_len, h_pad)
         extra.update(
             k_scale=jnp.zeros(sshape, jnp.float32),
             v_scale=jnp.zeros(sshape, jnp.float32),
@@ -228,8 +232,15 @@ def _attention(
     accumulation and heads-major layout, so each head's score/value products
     are contiguous batched GEMMs — no per-step cache relayout."""
     if k_scale is not None:
-        k_cache = k_cache.astype(jnp.float32) * k_scale.transpose(0, 2, 1)[..., None]
-        v_cache = v_cache.astype(jnp.float32) * v_scale.transpose(0, 2, 1)[..., None]
+        hh = k_cache.shape[1]  # scale planes may be lane-padded past H
+        k_cache = (
+            k_cache.astype(jnp.float32)
+            * k_scale[..., :hh].transpose(0, 2, 1)[..., None]
+        )
+        v_cache = (
+            v_cache.astype(jnp.float32)
+            * v_scale[..., :hh].transpose(0, 2, 1)[..., None]
+        )
     b, t, h, d = q.shape
     s = k_cache.shape[2]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))

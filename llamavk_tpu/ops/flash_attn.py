@@ -196,10 +196,12 @@ def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
     ]
 
     if quantized:
-        # scatter scales [HG, BT] to this program's head lanes of [BT, H]
+        # scatter scales [HG, BT] to this program's head lanes of [BT, Hs]
+        # (Hs = lane-padded head count of the scale plane)
+        n_lanes = ks_out.shape[3]
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 1)
-            == hb * hg + jax.lax.broadcasted_iota(jnp.int32, (hg, n_heads), 0)
+            jax.lax.broadcasted_iota(jnp.int32, (hg, n_lanes), 1)
+            == hb * hg + jax.lax.broadcasted_iota(jnp.int32, (hg, n_lanes), 0)
         ).astype(jnp.float32)
         k_sc_bt = jax.lax.dot_general(  # [BT, H]
             ksc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -209,7 +211,7 @@ def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
             vsc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n_heads), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n_lanes), 1)
         own = (lane >= hb * hg) & (lane < hb * hg + hg)
 
         def merge_scale(o):
@@ -496,10 +498,15 @@ def flash_attention(
 
     # heads per program: decode (small q tiles) groups heads so each DMA
     # moves HG x BK x D bytes; prefill keeps one head per program (its q/score
-    # tiles are already large)
+    # tiles are already large). Quantized caches group MORE heads: the [BK,
+    # Hs] scale tiles are shared across head-programs, so fewer programs =
+    # less duplicated scale traffic (int8 data is half-size, so VMEM fits).
     hg = heads_per_program
     if hg is None:
-        hg = 8 if bt <= 16 else 1
+        if quantized:
+            hg = 32 if bt <= 16 else 8
+        else:
+            hg = 8 if bt <= 16 else 1
     while h % hg:
         hg //= 2
     hg = max(hg, 1)
@@ -519,13 +526,23 @@ def flash_attention(
     extra_scratch = []
     extra_args = []
     if quantized:
+        hs = k_scale.shape[-1]  # lane-padded head count (init_kv_cache)
         extra_scratch += [
-            pltpu.VMEM((2, bk, h), jnp.float32),
-            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.VMEM((2, bk, hs), jnp.float32),
+            pltpu.VMEM((2, bk, hs), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
         extra_args += [k_scale, v_scale]
     if ring:
+        # DMA slice shapes on the lane axis must be 128-aligned: pad the
+        # (tiny, per-forward-constant) position plane at trace time — XLA
+        # hoists the pad out of the layer scan
+        bpad = -(-kv_pos.shape[1] // 128) * 128
+        if bpad != kv_pos.shape[1] and not interpret_mode():
+            kv_pos = jnp.pad(
+                kv_pos, ((0, 0), (0, bpad - kv_pos.shape[1])),
+                constant_values=-1,
+            )
         extra_scratch += [
             pltpu.VMEM((2, bk, kv_pos.shape[1]), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -621,7 +638,10 @@ def flash_attention_update(
 
     hg = heads_per_program
     if hg is None:
-        hg = 8 if bt <= 16 else 1
+        if quantized:
+            hg = 32 if bt <= 16 else 8
+        else:
+            hg = 8 if bt <= 16 else 1
     while h % hg:
         hg //= 2
     hg = max(hg, 1)
@@ -665,6 +685,7 @@ def flash_attention_update(
     ]
     if quantized:
         swin = min(-(-(bt + 7) // 8) * 8, s)  # scale RMW window rows
+        hs = k_scale.shape[-1]  # lane-padded head count (init_kv_cache)
         in_specs += [any_spec, any_spec]
         out_specs += [any_spec, any_spec]
         out_shape += [
@@ -674,11 +695,17 @@ def flash_attention_update(
         operands += [k_scale, v_scale]
         aliases.update({10: 3, 11: 4})
         scratch += [
-            pltpu.VMEM((2, bk, h), jnp.float32),
-            pltpu.VMEM((2, bk, h), jnp.float32),
+            pltpu.VMEM((2, bk, hs), jnp.float32),
+            pltpu.VMEM((2, bk, hs), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
     if ring:
+        bpad = -(-kv_pos.shape[1] // 128) * 128
+        if bpad != kv_pos.shape[1] and not interpret_mode():
+            kv_pos = jnp.pad(
+                kv_pos, ((0, 0), (0, bpad - kv_pos.shape[1])),
+                constant_values=-1,
+            )
         in_specs += [any_spec]
         operands += [kv_pos]
         scratch += [
@@ -692,8 +719,8 @@ def flash_attention_update(
     ]
     if quantized:
         scratch += [
-            pltpu.VMEM((swin, h), jnp.float32),
-            pltpu.VMEM((swin, h), jnp.float32),
+            pltpu.VMEM((swin, hs), jnp.float32),
+            pltpu.VMEM((swin, hs), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     results = pl.pallas_call(

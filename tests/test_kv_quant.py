@@ -124,7 +124,8 @@ def test_forward_int8_flash_vs_einsum(tiny):
     outs = {}
     for impl in ("flash", "einsum"):
         cache = init_kv_cache(cfg, 1, 32, dtype=jnp.int8)
-        assert cache.quantized and cache.k_scale.shape == (cfg.n_layer, 1, 32, cfg.n_head)
+        h_pad = -(-cfg.n_head // 128) * 128  # scale head lanes pad to 128
+        assert cache.quantized and cache.k_scale.shape == (cfg.n_layer, 1, 32, h_pad)
         logits, cache, _ = llama_forward(
             params, tokens, cache, jnp.int32(0), cfg,
             logits_all=True, attn_impl=impl,
