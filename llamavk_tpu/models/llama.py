@@ -418,12 +418,13 @@ def llama_forward(
                 attn, ck, cv, cks, cvs = flash_attention_update(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
-                    batch_offset=boff_l,
+                    batch_offset=boff_l, ring_bounded=True,
                 )
             else:
                 attn, ck, cv = flash_attention_update(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     kv_pos=new_pos, write_row=wrow, batch_offset=boff_l,
+                    ring_bounded=True,
                 )
         else:
             if quantized_kv:

@@ -70,7 +70,7 @@ def attention_ref(q, k, v, n_past):
 
 
 def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
-                   block_k: int, scale: float):
+                   block_k: int, scale: float, ring_bounded: bool = False):
     """Fused cache-write + attention: merge this program's new K/V rows into
     the aliased cache, then attend over the updated cache — the design of the
     reference's attention shader, which also writes K,V to its cache slot
@@ -237,11 +237,12 @@ def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
     _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
-            babs=babs, block_t=block_t, block_k=block_k, scale=scale)
+            babs=babs, block_t=block_t, block_k=block_k, scale=scale,
+            ring_bounded=ring_bounded)
 
 
 def _read_kernel(*args, quantized: bool, ring: bool, block_t: int,
-                 block_k: int, scale: float):
+                 block_k: int, scale: float, ring_bounded: bool = False):
     """Generic read-path entry: unpacks the (quantized x ring)-dependent
     positional ref list Pallas passes and routes to _attend."""
     it = iter(args)
@@ -261,13 +262,15 @@ def _read_kernel(*args, quantized: bool, ring: bool, block_t: int,
     _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
-            babs=babs, block_t=block_t, block_k=block_k, scale=scale)
+            babs=babs, block_t=block_t, block_k=block_k, scale=scale,
+            ring_bounded=ring_bounded)
 
 
 def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
             pos_hbm=None, posbuf=None, psems=None, babs=None, *,
-            block_t: int, block_k: int, scale: float):
+            block_t: int, block_k: int, scale: float,
+            ring_bounded: bool = False):
     """One program: HG heads x BT queries against the ragged cache prefix.
 
     HG > 1 (decode) makes each DMA HG x (BK x D) — per-program DMA startup
@@ -302,9 +305,13 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
     # Ring mode (pos_hbm given): rows live anywhere in the ring — scan all of
     # it; validity comes from the per-row logical positions, not the bound.
     s_total = k_hbm.shape[3]
-    if ring:
+    if ring and not ring_bounded:
         nblocks = s_total // block_k
     else:
+        # ring_bounded: sound when the ring invariant pos[r] >= r holds
+        # (engine-produced rings) — rows past min(npast+t, S) then hold
+        # either empty or future positions, both masked; pre-wrap this
+        # recovers the full ragged-prefix saving
         limit = jnp.minimum(npast + t0 + bt, s_total)
         nblocks = pl.cdiv(limit, block_k)
 
@@ -449,7 +456,8 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_k", "heads_per_program")
+    jax.jit,
+    static_argnames=("block_t", "block_k", "heads_per_program", "ring_bounded"),
 )
 def flash_attention(
     q: jax.Array,  # [B, T, H, D]
@@ -464,6 +472,7 @@ def flash_attention(
     v_scale: jax.Array | None = None,
     kv_pos: jax.Array | None = None,  # [S, B] int32: history-ring positions
     batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
+    ring_bounded: bool = False,  # ragged bound on rings with pos[r] >= r
 ) -> jax.Array:
     """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
     DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
@@ -518,7 +527,7 @@ def flash_attention(
     grid = (b, h // hg, tpad // bt)
     kernel = functools.partial(
         _read_kernel, quantized=quantized, ring=ring, block_t=bt, block_k=bk,
-        scale=1.0 / (d**0.5),
+        scale=1.0 / (d**0.5), ring_bounded=ring_bounded,
     )
     extra_in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
         2 * quantized + ring
@@ -587,7 +596,8 @@ def flash_attention(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_k", "heads_per_program")
+    jax.jit,
+    static_argnames=("block_t", "block_k", "heads_per_program", "ring_bounded"),
 )
 def flash_attention_update(
     q: jax.Array,  # [B, T, H, D]
@@ -606,6 +616,7 @@ def flash_attention_update(
     kv_pos: jax.Array | None = None,  # [S, B] int32: history-ring positions
     write_row: jax.Array | None = None,  # [B] int32 physical start rows
     batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
+    ring_bounded: bool = False,  # ragged bound on rings with pos[r] >= r
 ):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
@@ -662,6 +673,7 @@ def flash_attention_update(
     kernel = functools.partial(
         _update_kernel, quantized=quantized, ring=ring,
         block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+        ring_bounded=ring_bounded,
     )
     # operand assembly (must mirror _update_kernel's unpacking order):
     # scalars: layer_idx, npast, wrow, commit, batch_offset
