@@ -207,6 +207,7 @@ def _chunk_matmul(
 
 # defaults tunable via env for end-to-end A/B runs (bench.py)
 _ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "512"))
+_ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "256"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
 )
@@ -239,7 +240,7 @@ def q4_matmul(
     qw: QWeight,
     out_dtype=jnp.bfloat16,
     block_n: int | None = None,
-    block_b: int = 256,
+    block_b: int | None = None,
     use_ref: bool = False,
     mul_dtype=None,
     layer_idx: jax.Array | None = None,
@@ -258,6 +259,8 @@ def q4_matmul(
         return q4_matmul_ref(x, qw, out_dtype=out_dtype)
     if block_n is None:
         block_n = _ENV_BN
+    if block_b is None:
+        block_b = _ENV_BB
     if mul_dtype is None:
         mul_dtype = _ENV_MUL
     stacked = layer_idx is not None
@@ -280,6 +283,8 @@ def q4_matmul(
         # that divides N exactly (true for every LLaMA matmul width)
         bp = _round_up(max(b, 8), 8)
         bb = min(block_b, bp)
+        while bb > 8 and bb * kc * 2 > 5 * 1024 * 1024:
+            bb //= 2  # keep the activation tile within VMEM for large K
         bn = _fit_bn(min(block_n, n), kc, g // chunks, bb)
         while bn >= 128 and (n % bn or bn % 128):
             bn -= 128
@@ -337,6 +342,8 @@ def q4_matmul(
     bp = _round_up(max(b, 8), 8)
     bn = min(block_n, _round_up(n, 128))
     bb = min(block_b, bp)
+    while bb > 8 and bb * kc * 2 > 5 * 1024 * 1024:
+        bb //= 2  # keep the activation tile within VMEM for large K
     bn = _fit_bn(bn, kc, g // chunks, bb)
     # prefer a tile that divides N exactly: XLA otherwise pads the packed
     # weight + scales on every call (measured ~0.45 ms/token on the 32000-wide

@@ -37,6 +37,7 @@ class Request:
     sp: SamplerParams = SamplerParams()
     seed: int = 0
     ignore_eos: bool = False
+    prefix: int = -1  # id from register_prefix: prompt continues that prefix
     # filled by the scheduler:
     rid: int = -1
     slot: int = -1
@@ -80,6 +81,8 @@ class BatchedEngine:
         self.slots: list[Request | None] = [None] * b
         self.queue: list[Request] = []
         self._rid = 0
+        self.prefixes: dict[int, tuple] = {}  # id -> (cache1, length, tokens)
+        self._pid = 0
         self.stats = {
             "tokens": 0, "steps": 0, "t_decode": 0.0, "prefills": 0,
             "prefill_calls": 0,
@@ -88,13 +91,25 @@ class BatchedEngine:
         cfg_ = cfg
 
         @jax.jit
-        def _prefill(params, tokens, cacheN, last_idx):
+        def _prefill(params, tokens, cacheN, n_past, last_idx):
             # batched admission prefill: N prompts (same bucket length) in one
-            # program; per-row true final positions via vector last_idx
+            # program; per-row true final positions via vector last_idx.
+            # n_past > 0 continues a seeded shared prefix (prefix caching).
             logits, cacheN, _ = llama_forward(
-                params, tokens, cacheN, jnp.int32(0), cfg_, last_idx=last_idx
+                params, tokens, cacheN, n_past, cfg_, last_idx=last_idx
             )
             return logits[:, 0, :], cacheN  # [N, V]
+
+        def seed_prefix(cacheP, n):
+            # replicate the prefix cache's single batch row across an n-row
+            # scratch cache (rows past the prefix length are garbage that the
+            # suffix prefill / decode overwrite before they can be attended)
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a, a.shape[:1] + (n,) + a.shape[2:]
+                ).copy(),
+                cacheP,
+            )
 
         @partial(jax.jit, donate_argnums=(0,))
         def _insert_row(cache, cacheN, row, slot):
@@ -130,19 +145,94 @@ class BatchedEngine:
             )
             return out.T, cache, last, keys  # out: [B, n_steps]
 
+        bcfg_ = self.bcfg
+
+        @partial(
+            jax.jit,
+            static_argnames=("n", "top_k", "prefixed"),
+            donate_argnums=(1,),
+        )
+        def _admit_chunk(params, cache, pfx_cache, toks, n_past0, last_idx,
+                         slots, seeds, last_windows, top_p, temp, penalty,
+                         n, top_k, prefixed):
+            # ONE device program per admission chunk: scratch-cache seeding,
+            # suffix prefill, per-row slot inserts, and the batched
+            # first-token sample. The axon tunnel charges ~25-30 ms of host
+            # time PER DISPATCH, so fusing the 4-7 separate admission
+            # dispatches into one is what keeps admission off the serving
+            # critical path (measured: non-decode wall dominated by
+            # dispatch count, not device compute).
+            if prefixed:
+                cacheN = seed_prefix(pfx_cache, n)
+            else:
+                cacheN = init_kv_cache(
+                    cfg_, n, bcfg_.n_ctx, dtype=jnp.dtype(bcfg_.kv_dtype)
+                )
+            logits, cacheN, _ = llama_forward(
+                params, toks, cacheN, n_past0, cfg_, last_idx=last_idx
+            )
+            logits = logits[:, 0, :]  # [n, V]
+            def ins(c, cN, row, slot):
+                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
+                return jax.lax.dynamic_update_slice(
+                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+                )
+            for j in range(n):
+                cache = jax.tree.map(
+                    lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
+                    cache, cacheN,
+                )
+            subs = jax.vmap(jax.random.key)(seeds + 1)
+            ids = sample_tokens_batched(
+                logits, last_windows, subs, top_k, top_p, temp, penalty
+            )
+            return cache, ids
+
         self._prefill = _prefill
+        self._seed_prefix = jax.jit(seed_prefix, static_argnames=("n",))
+        self._admit_chunk = _admit_chunk
         self._insert_row = _insert_row
         self._decode = _decode
 
     # --- public API -------------------------------------------------------
 
+    def register_prefix(self, tokens: list[int]) -> int:
+        """Prefill a shared prompt prefix (e.g. a system prompt) ONCE and
+        return its id. Requests submitted with prefix=id prefill only their
+        suffix: the prefix K/V rows are copied into the slot at admission —
+        prefix caching, new capability beyond the reference (whose engine
+        re-evaluates every stream's full prompt)."""
+        assert 0 < len(tokens) < self.bcfg.n_ctx, "prefix length out of range"
+        plen = len(tokens)
+        bucket = 8
+        while bucket < plen:
+            bucket *= 2
+        bucket = min(bucket, self.bcfg.n_ctx)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :plen] = tokens
+        cache1 = init_kv_cache(
+            self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
+        )
+        _, cache1 = self._prefill(
+            self.params, jnp.asarray(padded), cache1, jnp.int32(0),
+            jnp.asarray([plen - 1], np.int32),
+        )
+        pid = self._pid
+        self._pid += 1
+        self.prefixes[pid] = (cache1, plen, list(tokens))
+        return pid
+
     def submit(self, prompt: list[int], n_predict: int,
                sp: SamplerParams = SamplerParams(), seed: int = 0,
                ignore_eos: bool = False,
-               on_token: Callable[[int], None] | None = None) -> Request:
-        assert len(prompt) + n_predict <= self.bcfg.n_ctx, "request exceeds n_ctx"
+               on_token: Callable[[int], None] | None = None,
+               prefix: int = -1) -> Request:
+        total = len(prompt) + (self.prefixes[prefix][1] if prefix >= 0 else 0)
+        assert total + n_predict <= self.bcfg.n_ctx, "request exceeds n_ctx"
+        assert len(prompt) >= 1, "prompt suffix must be non-empty"
         req = Request(prompt=list(prompt), n_predict=n_predict, sp=sp, seed=seed,
-                      ignore_eos=ignore_eos, rid=self._rid, on_token=on_token)
+                      ignore_eos=ignore_eos, rid=self._rid, on_token=on_token,
+                      prefix=prefix)
         self._rid += 1
         self.queue.append(req)
         return req
@@ -172,13 +262,21 @@ class BatchedEngine:
                 b *= 2
             return min(b, self.bcfg.n_ctx)
 
-        groups: dict[int, list[Request]] = {}
+        groups: dict[tuple, list[Request]] = {}
         for req in admitted:
-            groups.setdefault(bucket_of(len(req.prompt)), []).append(req)
+            groups.setdefault(
+                (bucket_of(len(req.prompt)), req.prefix), []
+            ).append(req)
 
         w = self.bcfg.repeat_last_n
         pending = []  # (chunk requests, device ids [n])
-        for bucket, items in groups.items():
+        for (bucket, pfx), items in groups.items():
+            pfx_cache, pfx_len, pfx_tokens = (
+                self.prefixes[pfx] if pfx >= 0 else (None, 0, [])
+            )
+            # suffix writes live at [pfx_len, pfx_len + bucket): clamp the
+            # padding so they cannot run past the slot region
+            bucket = min(bucket, self.bcfg.n_ctx - pfx_len)
             i = 0
             while i < len(items):
                 n = 1 << max(0, (len(items) - i).bit_length() - 1)
@@ -194,7 +292,7 @@ class BatchedEngine:
                     last_idx[j] = plen - 1
                     seeds[j] = req.seed
                     slot = req.slot
-                    hist = req.prompt[-w:]
+                    hist = (pfx_tokens + req.prompt)[-w:]
                     self.last_window[slot] = -1
                     if hist:
                         self.last_window[slot, -len(hist):] = hist
@@ -202,31 +300,30 @@ class BatchedEngine:
                     self.temp[slot] = req.sp.temp
                     self.penalty[slot] = req.sp.repeat_penalty
                     self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
-                    self.n_past[slot] = plen
-                # one batched prefill for the chunk, then per-row inserts
-                cacheN = init_kv_cache(
-                    self.cfg, n, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
-                )
-                logits, cacheN = self._prefill(
-                    self.params, jnp.asarray(toks), cacheN, jnp.asarray(last_idx)
-                )  # [n, V]
-                for j, req in enumerate(chunk):
-                    self.cache = self._insert_row(
-                        self.cache, cacheN, jnp.int32(j), jnp.int32(req.slot)
-                    )
-                self.stats["prefills"] += n
-                self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
-                subs = jax.vmap(jax.random.key)(jnp.asarray(seeds) + 1)
+                    self.n_past[slot] = pfx_len + plen
+                # ONE fused dispatch per chunk: seed/zero the scratch
+                # cache, prefill the (suffix) prompts, insert each row into
+                # its slot, sample the first tokens
                 rows = np.asarray([r.slot for r in chunk])
-                ids = sample_tokens_batched(
-                    logits,
+                self.cache, ids = self._admit_chunk(
+                    self.params,
+                    self.cache,
+                    pfx_cache if pfx >= 0 else None,
+                    jnp.asarray(toks),
+                    jnp.int32(pfx_len),
+                    jnp.asarray(last_idx),
+                    jnp.asarray(rows.astype(np.int32)),
+                    jnp.asarray(seeds.astype(np.int32)),
                     jnp.asarray(self.last_window[rows]),
-                    subs,
-                    self.bcfg.top_k,
                     jnp.asarray(self.top_p[rows]),
                     jnp.asarray(self.temp[rows]),
                     jnp.asarray(self.penalty[rows]),
+                    n=n,
+                    top_k=self.bcfg.top_k,
+                    prefixed=pfx >= 0,
                 )
+                self.stats["prefills"] += n
+                self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
                 pending.append((chunk, ids))
 
         for chunk, ids in pending:

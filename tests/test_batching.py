@@ -71,3 +71,39 @@ def test_stochastic_per_slot_params(model):
     assert r1.generated == _single_stream(cfg, params, [3, 4], 5)
     assert len(r2.generated) == 5
     assert all(0 <= t < cfg.n_vocab for t in r2.generated)
+
+
+def test_prefix_caching_matches_full_prompt(model):
+    """register_prefix + suffix submit must equal submitting prefix+suffix."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30, 7]
+    suffixes = [[3, 1], [4, 4, 4], [8]]
+
+    be_plain = BatchedEngine(cfg, params, BatchConfig(max_batch=3, n_ctx=64, block=4))
+    plain = [
+        be_plain.submit(prefix + s, 6, GREEDY, ignore_eos=True) for s in suffixes
+    ]
+    be_plain.run()
+
+    be_pfx = BatchedEngine(cfg, params, BatchConfig(max_batch=3, n_ctx=64, block=4))
+    pid = be_pfx.register_prefix(prefix)
+    pfx = [
+        be_pfx.submit(s, 6, GREEDY, ignore_eos=True, prefix=pid) for s in suffixes
+    ]
+    be_pfx.run()
+    # only ONE prefill pass covered the prefix tokens
+    assert be_pfx.stats["prefills"] == len(suffixes)
+
+    for a, b in zip(plain, pfx):
+        assert a.generated == b.generated, (a.generated, b.generated)
+
+
+def test_prefix_and_plain_mix(model):
+    cfg, params, _ = model
+    be = BatchedEngine(cfg, params, BatchConfig(max_batch=2, n_ctx=64, block=4))
+    pid = be.register_prefix([5, 6, 7])
+    r1 = be.submit([9], 5, GREEDY, ignore_eos=True, prefix=pid)
+    r2 = be.submit([5, 6, 7, 9], 5, GREEDY, ignore_eos=True)
+    be.run()
+    # same effective prompt -> same greedy continuation
+    assert r1.generated == r2.generated
