@@ -207,7 +207,7 @@ def _chunk_matmul(
 
 # defaults tunable via env for end-to-end A/B runs (bench.py)
 _ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "512"))
-_ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "256"))
+_ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "512"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
 )
@@ -283,7 +283,7 @@ def q4_matmul(
         # that divides N exactly (true for every LLaMA matmul width)
         bp = _round_up(max(b, 8), 8)
         bb = min(block_b, bp)
-        while bb > 8 and bb * kc * 2 > 5 * 1024 * 1024:
+        while bb > 8 and bb * kc * 2 > 6 * 1024 * 1024:
             bb //= 2  # keep the activation tile within VMEM for large K
         bn = _fit_bn(min(block_n, n), kc, g // chunks, bb)
         while bn >= 128 and (n % bn or bn % 128):
@@ -342,7 +342,7 @@ def q4_matmul(
     bp = _round_up(max(b, 8), 8)
     bn = min(block_n, _round_up(n, 128))
     bb = min(block_b, bp)
-    while bb > 8 and bb * kc * 2 > 5 * 1024 * 1024:
+    while bb > 8 and bb * kc * 2 > 6 * 1024 * 1024:
         bb //= 2  # keep the activation tile within VMEM for large K
     bn = _fit_bn(bn, kc, g // chunks, bb)
     # prefer a tile that divides N exactly: XLA otherwise pads the packed
