@@ -49,6 +49,16 @@ def build_argparser() -> argparse.ArgumentParser:
         "--kv-dtype", choices=["bfloat16", "int8"], default="bfloat16",
         help="KV cache storage (int8: half the memory/bandwidth, 2x context)",
     )
+    ap.add_argument(
+        "--draft-model", default=None,
+        help="speculative decoding: a smaller checkpoint that drafts tokens "
+        "the main model verifies (greedy only; output is identical to plain "
+        "greedy decode, just faster)",
+    )
+    ap.add_argument(
+        "--draft-n", type=int, default=4,
+        help="draft tokens proposed per verify round (gamma)",
+    )
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
     ap.add_argument("-ins", "--instruct", action="store_true")
@@ -115,6 +125,39 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     prompt_tokens = tok.encode(" " + prompt, bos=True)
     n_keep = args.n_keep if args.n_keep > 0 else len(prompt_tokens)
     ctxman = ContextManager(engine, args.ctx_size, min(n_keep, args.ctx_size // 2))
+
+    draft = getattr(args, "draft_model", None)
+    if draft:
+        # speculative decoding: greedy-only, single-shot (the emitted stream
+        # IS the main model's greedy stream, so it composes with none of the
+        # sampler/interactive features)
+        if args.temp > 0 or args.interactive or ring:
+            print(
+                "warning: --draft-model requires --temp 0, non-interactive, "
+                "non-ring; ignoring the draft",
+                file=sys.stderr,
+            )
+        else:
+            from ..runtime.speculative import SpecConfig, SpeculativeEngine
+
+            dcfg, dparams, _ = load_model(draft)
+            spec = SpeculativeEngine(
+                cfg, params, dcfg, dparams,
+                SpecConfig(n_ctx=args.ctx_size, gamma=max(1, args.draft_n)),
+            )
+            out = spec.generate(
+                prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos
+            )
+            text = b"".join(tok.decode_token(t) for t in out)
+            stdout.write(text.decode("utf-8", errors="replace"))
+            stdout.write("\n")
+            ar = spec.acceptance_rate
+            print(
+                f"speculative: {spec.stats['emitted']} tokens in "
+                f"{spec.stats['rounds']} rounds, acceptance {ar:.0%}",
+                file=sys.stderr,
+            )
+            return 0
 
     reverse_seqs = [tok.encode(r, bos=False) for r in args.reverse_prompt]
     out_buf = bytearray()
