@@ -143,7 +143,8 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
             dcfg, dparams, _ = load_model(draft)
             spec = SpeculativeEngine(
                 cfg, params, dcfg, dparams,
-                SpecConfig(n_ctx=args.ctx_size, gamma=max(1, args.draft_n)),
+                SpecConfig(n_ctx=args.ctx_size, gamma=max(1, args.draft_n),
+                           kv_dtype=getattr(args, "kv_dtype", "bfloat16")),
             )
             out = spec.generate(
                 prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos

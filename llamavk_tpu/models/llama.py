@@ -476,7 +476,7 @@ def llama_forward(
                     cvs = gated_dus(cvs, v_sc[None], (l, boff_l, wstart_l, 0))
             if impl == "flash":
                 attn = flash_attention(
-                    q, ck, cv, n_past, layer_idx=l,
+                    q, ck, cv, npast_l, layer_idx=l,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos,
                     batch_offset=boff_l,
                 )

@@ -23,6 +23,8 @@ def make_sharded_forward(
     mesh: Mesh,
     logits_all: bool = False,
     pp_microbatch: int = 1,
+    quantized_kv: bool = False,
+    ring_kv: bool = False,
 ):
     """Returns a jitted fn(params, tokens, cache, n_past) running TP+DP over
     the mesh. tokens: [B, T] with B divisible by the dp axis size.
@@ -31,7 +33,7 @@ def make_sharded_forward(
     stages (GPipe-style: utilization M/(M+P-1) instead of 1/P per
     activation); the per-device batch must divide by it."""
     pspecs = param_pspecs(params)
-    cspec = cache_pspec()
+    cspec = cache_pspec(quantized=quantized_kv, ring=ring_kv)
 
     tp_size = mesh.shape["tp"]
     pp_size = mesh.shape.get("pp", 1)

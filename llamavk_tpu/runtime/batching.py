@@ -111,17 +111,6 @@ class BatchedEngine:
                 cacheP,
             )
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def _insert_row(cache, cacheN, row, slot):
-            # move prefilled row `row` of the scratch cache into slot `slot`
-            def ins(c, cN):
-                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
-                return jax.lax.dynamic_update_slice(
-                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
-                )
-
-            return jax.tree.map(ins, cache, cacheN)
-
 
         @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode(params, cache, toks0, last, keys, n_past, top_p, temp, penalty,
@@ -189,9 +178,7 @@ class BatchedEngine:
             return cache, ids
 
         self._prefill = _prefill
-        self._seed_prefix = jax.jit(seed_prefix, static_argnames=("n",))
         self._admit_chunk = _admit_chunk
-        self._insert_row = _insert_row
         self._decode = _decode
 
     # --- public API -------------------------------------------------------

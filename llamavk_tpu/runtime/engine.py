@@ -123,6 +123,13 @@ class Engine:
         self.params = params
         self.ecfg = ecfg
         self.kv_dtype = jnp.dtype(ecfg.kv_dtype)
+        step = 32 if self.kv_dtype == jnp.int8 else 8
+        if ecfg.n_ctx % step:
+            raise ValueError(
+                f"n_ctx must be a multiple of {step} "
+                f"({'int8 KV tile' if step == 32 else 'KV tile'} constraint); "
+                f"got {ecfg.n_ctx}"
+            )
         self.timings = Timings()
         self.reset()
 
@@ -180,9 +187,13 @@ class Engine:
         def eval_chunk(chunk: list[int]):
             # bucket-pad T to a power of two: prefill compiles once per
             # bucket, not once per prompt length (~40 s/compile on a 7B).
-            # Garbage KV rows past len(chunk) sit beyond n_past (ring: at
-            # not-yet-valid ring rows) and are overwritten before any query
-            # can attend to them (same invariant as the batching engine).
+            # Garbage KV rows past len(chunk) sit beyond n_past and are
+            # overwritten before any query can attend to them. Ring caveat:
+            # after a wrap the padded rows land on ring rows that still held
+            # the OLDEST in-window history — those positions temporarily
+            # vanish from attention (their pos plane marks them future) until
+            # real tokens reach them. Bounded by bucket - t_real < t_real
+            # rows per eval; the pinned ring_keep prefix is never touched.
             t_real = len(chunk)
             bucket = 1 << (t_real - 1).bit_length()
             if ring:
@@ -200,12 +211,16 @@ class Engine:
 
         if ring:
             # chunk so one eval never crosses the ring's wrap row (the write
-            # window [row, row+T) must stay contiguous in physical rows)
+            # window [row, row+T) must stay contiguous in physical rows).
+            # Chunks snap to the largest power of two that fits the room so
+            # the padded shape stays a bounded bucket set (CLAUDE.md rule:
+            # never derive traced-program shapes from runtime values)
             parts = []
             i = 0
             while i < len(full):
                 room = self.ecfg.n_ctx - self._ring_row(self.n_past)
-                part = full[i : i + room]
+                take = min(len(full) - i, 1 << (room.bit_length() - 1))
+                part = full[i : i + take]
                 parts.append(eval_chunk(part))
                 i += len(part)
             logits = np.concatenate(parts) if logits_all else parts[-1]

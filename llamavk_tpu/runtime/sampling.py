@@ -154,3 +154,29 @@ def sample_token_dyn(
 sample_tokens_batched = jax.vmap(
     sample_token_dyn, in_axes=(0, 0, 0, None, 0, 0, 0)
 )
+
+
+def probs_from_logits(
+    logits: jax.Array,  # [V] f32
+    top_k: int,  # static
+    top_p: float,
+    temp: float,
+) -> jax.Array:
+    """The full-vocab probability distribution sample_token draws from
+    (temperature + top-k + top-p, renormalized; zero outside the kept set).
+
+    Speculative rejection sampling needs the actual distributions — both the
+    draft's and the target's — not just a draw, so this factors the transform
+    out of the samplers. Greedy (temp <= 0) is a point mass on the argmax."""
+    v = logits.shape[-1]
+    greedy = jnp.zeros(v).at[jnp.argmax(logits)].set(1.0)
+    scaled = logits / jnp.maximum(temp, 1e-6)
+    k = v if top_k <= 0 else min(top_k, v)
+    top_vals, top_idx = jax.lax.top_k(scaled, k)
+    probs = jax.nn.softmax(top_vals)
+    csum = jnp.cumsum(probs)
+    keep = jnp.concatenate([jnp.ones((1,), bool), csum[:-1] < top_p])
+    probs = jnp.where(keep, probs, 0.0)
+    probs = probs / probs.sum()
+    full = jnp.zeros(v).at[top_idx].set(probs)
+    return jnp.where(temp > 0, full, greedy)

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from .sampling import SamplerParams, probs_from_logits
 
 
 @dataclass(frozen=True)
@@ -58,7 +59,11 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
             tok, cache_t, cache_d, n_past = state
 
             # 1) draft gamma tokens, feeding each back (draft cache rows
-            #    n_past..n_past+gamma-1 now hold [tok, d_0..d_{gamma-2}])
+            #    n_past..n_past+gamma-1 now hold [tok, d_0..d_{gamma-2}]).
+            #    The gamma-th step looks wasteful (d_{gamma-1} is never
+            #    verified) but it is what WRITES d_{gamma-2}'s K/V row into
+            #    the draft cache — without it a fully-accepted round would
+            #    leave a hole the next round's drafts attend through.
             def dstep(s, i):
                 t, cd = s
                 lg, cd, _ = llama_forward(
@@ -100,6 +105,84 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
     return spec_block
 
 
+def make_spec_sample_block(cfg_t, cfg_d, gamma, sp_t: SamplerParams,
+                           sp_d: SamplerParams):
+    """Sampled speculative decoding: standard rejection sampling over the
+    TRANSFORMED distributions (temperature/top-k/top-p — exactly what the
+    plain sampler draws from), so the emitted stream is distributed exactly
+    as target-only sampling:
+
+      accept d_i with prob min(1, p_t(d_i) / p_d(d_i)); on the first
+      rejection sample from normalize(max(p_t - p_d, 0)); if every draft
+      was accepted, the bonus token samples from p_t at the last position.
+
+    Repeat-penalty is not folded in (the caller asserts it is off): its
+    window would have to evolve inside the round on both models identically.
+    """
+
+    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3, 4))
+    def spec_sample_block(params_t, params_d, tok0, cache_t, cache_d, n_past,
+                          key, n_rounds):
+        def round_body(state, _):
+            tok, cache_t, cache_d, n_past, key = state
+
+            def dstep(s, i):
+                t, cd, kk = s
+                lg, cd, _ = llama_forward(
+                    params_d, t.reshape(1, 1), cd, n_past + i, cfg_d
+                )
+                pd = probs_from_logits(
+                    lg[0, -1], sp_d.top_k, sp_d.top_p, sp_d.temp
+                )
+                kk, sub = jax.random.split(kk)
+                nt = jax.random.categorical(
+                    sub, jnp.log(pd + 1e-30)
+                ).astype(jnp.int32)
+                return (nt, cd, kk), (nt, pd)
+
+            (_, cache_d, key), (draft, pd_all) = jax.lax.scan(
+                dstep, (tok, cache_d, key), jnp.arange(gamma, dtype=jnp.int32)
+            )  # draft [gamma], pd_all [gamma, V]
+
+            seq = jnp.concatenate([tok.reshape(1), draft[:-1]])
+            lg, cache_t, _ = llama_forward(
+                params_t, seq[None], cache_t, n_past, cfg_t, logits_all=True
+            )
+            pt_all = jax.vmap(
+                lambda l: probs_from_logits(l, sp_t.top_k, sp_t.top_p, sp_t.temp)
+            )(lg[0])  # [gamma, V]
+
+            idx = jnp.arange(gamma - 1)
+            key, ku, kc = jax.random.split(key, 3)
+            us = jax.random.uniform(ku, (max(gamma - 1, 1),))[: gamma - 1]
+            ratio = pt_all[idx, draft[: gamma - 1]] / jnp.maximum(
+                pd_all[idx, draft[: gamma - 1]], 1e-30
+            )
+            acc = us < jnp.minimum(ratio, 1.0)
+            k = jnp.argmin(
+                jnp.concatenate([acc, jnp.zeros(1, bool)])
+            ).astype(jnp.int32)  # first rejection; gamma-1 if none
+
+            # correction (residual) or bonus (k == gamma-1) distribution
+            sub_pd = jnp.where(k < gamma - 1, pd_all[k], jnp.zeros_like(pd_all[k]))
+            resid = jnp.maximum(pt_all[k] - sub_pd, 0.0)
+            resid = resid / jnp.maximum(resid.sum(), 1e-30)
+            corr = jax.random.categorical(
+                kc, jnp.log(resid + 1e-30)
+            ).astype(jnp.int32)
+            emitted = jnp.where(jnp.arange(gamma) < k, draft, corr)
+            count = k + 1
+            return (corr, cache_t, cache_d, n_past + count, key), (emitted, count)
+
+        state = (tok0, cache_t, cache_d, n_past, key)
+        (tok, cache_t, cache_d, n_past, key), (toks, counts) = jax.lax.scan(
+            round_body, state, None, length=n_rounds
+        )
+        return toks, counts, tok, cache_t, cache_d, n_past, key
+
+    return spec_sample_block
+
+
 class SpeculativeEngine:
     """Greedy decode engine over a (target, draft) model pair.
 
@@ -119,6 +202,7 @@ class SpeculativeEngine:
         self.cfg_d, self.params_d = cfg_d, params_d
         self.scfg = scfg
         self._block = make_spec_decode_block(cfg_t, cfg_d, scfg.gamma)
+        self._sample_blocks: dict = {}  # (sp_t, sp_d) -> compiled block
 
         def make_prefill(cfg, params):
             @jax.jit
@@ -142,11 +226,32 @@ class SpeculativeEngine:
         self.n_past = 0
 
     def generate(self, prompt_tokens: list[int], n_predict: int,
-                 eos_id: int = 2, ignore_eos: bool = False) -> list[int]:
+                 eos_id: int = 2, ignore_eos: bool = False,
+                 sp: SamplerParams | None = None,
+                 draft_sp: SamplerParams | None = None,
+                 seed: int = 0) -> list[int]:
+        """Single-shot generation (the engine resets itself first).
+
+        sp=None or sp.temp <= 0: greedy draft-verify (output equals plain
+        target greedy). Otherwise: speculative rejection sampling — emitted
+        tokens are distributed exactly as target-only sampling from the
+        transformed (temp/top-k/top-p) distribution. repeat_penalty must be
+        off (1.0): its window would have to evolve within rounds."""
+        sampled = sp is not None and sp.temp > 0
+        if sampled:
+            assert sp.repeat_penalty == 1.0, (
+                "speculative sampling does not support repeat_penalty"
+            )
+            draft_sp = draft_sp or sp
+        self.reset()
         g = self.scfg.gamma
+        # device blocks always run rounds_per_block full rounds; the last
+        # block can overshoot the budget by up to R*gamma rows of cache
+        # writes, so reserve that headroom against n_ctx
+        headroom = self.scfg.rounds_per_block * g + g + 1
         assert (
-            self.n_past + len(prompt_tokens) + n_predict + g + 1 <= self.scfg.n_ctx
-        ), "context overflow"
+            len(prompt_tokens) + n_predict + headroom <= self.scfg.n_ctx
+        ), "context overflow (need rounds_per_block*gamma headroom)"
         plen = len(prompt_tokens)
         bucket = 1 << (plen - 1).bit_length()
         bucket = min(bucket, self.scfg.n_ctx)
@@ -158,17 +263,41 @@ class SpeculativeEngine:
         )
         _, self.cache_d = self._prefill_d(toks, self.cache_d, jnp.int32(plen - 1))
         self.n_past += plen
-        tok = jnp.argmax(logits_t[0]).astype(jnp.int32)
+        key = jax.random.key(seed)
+        if sampled:
+            from .sampling import probs_from_logits as _pfl
+
+            key, k0 = jax.random.split(key)
+            p0 = _pfl(logits_t[0], sp.top_k, sp.top_p, sp.temp)
+            tok = jax.random.categorical(k0, jnp.log(p0 + 1e-30)).astype(jnp.int32)
+            blk_key = (sp, draft_sp)
+            if blk_key not in self._sample_blocks:
+                self._sample_blocks[blk_key] = make_spec_sample_block(
+                    self.cfg_t, self.cfg_d, self.scfg.gamma, sp, draft_sp
+                )
+            block = self._sample_blocks[blk_key]
+        else:
+            tok = jnp.argmax(logits_t[0]).astype(jnp.int32)
+            block = None
 
         out = [int(tok)]
         if not ignore_eos and out[-1] == eos_id:
             return out
         npast_dev = jnp.int32(self.n_past)
         while len(out) < n_predict:
-            toks_r, counts, tok, self.cache_t, self.cache_d, npast_dev = self._block(
-                self.params_t, self.params_d, tok, self.cache_t, self.cache_d,
-                npast_dev, self.scfg.rounds_per_block,
-            )
+            if sampled:
+                (toks_r, counts, tok, self.cache_t, self.cache_d, npast_dev,
+                 key) = block(
+                    self.params_t, self.params_d, tok, self.cache_t,
+                    self.cache_d, npast_dev, key, self.scfg.rounds_per_block,
+                )
+            else:
+                toks_r, counts, tok, self.cache_t, self.cache_d, npast_dev = (
+                    self._block(
+                        self.params_t, self.params_d, tok, self.cache_t,
+                        self.cache_d, npast_dev, self.scfg.rounds_per_block,
+                    )
+                )
             toks_h = np.asarray(toks_r)  # [R, gamma]
             counts_h = np.asarray(counts)
             stop = False
@@ -186,10 +315,13 @@ class SpeculativeEngine:
                     break
             if stop:
                 break
-        # device-side state ran ahead of any early stop; n_past tracks the
-        # device value (stale rows past the stop point are masked/overwritten)
-        self.n_past = int(npast_dev)
-        return out[:n_predict]
+        # the device ran ahead of any early stop; the HOST-consumed prefix is
+        # the only valid context: prompt rows + every consumed token except
+        # the final one (which is pending, never evaluated) — matching
+        # Engine.generate's n_past accounting
+        out = out[:n_predict]
+        self.n_past = plen + max(len(out) - 1, 0)
+        return out
 
     @property
     def acceptance_rate(self) -> float:

@@ -63,3 +63,52 @@ def test_spec_gamma_one_degenerates(models):
         [4, 8, 15], 8, GREEDY, ignore_eos=True
     )
     assert spec.generate([4, 8, 15], 8, ignore_eos=True) == want
+
+
+def test_spec_sampled_self_draft_high_acceptance(models):
+    """Same model + same sampler params => p_draft == p_target (up to matmul
+    rounding), so almost every proposal is accepted and output is seeded-
+    deterministic."""
+    cfg_t, params_t, _, _ = models
+    sp = SamplerParams(temp=0.8, top_k=40, top_p=0.95, repeat_penalty=1.0)
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_t, params_t,
+        SpecConfig(n_ctx=64, gamma=3, rounds_per_block=3),
+    )
+    out1 = spec.generate([5, 9, 2], 10, ignore_eos=True, sp=sp, seed=3)
+    assert len(out1) == 10
+    assert spec.acceptance_rate > 0.9
+    out2 = spec.generate([5, 9, 2], 10, ignore_eos=True, sp=sp, seed=3)
+    assert out1 == out2  # deterministic per seed (engine auto-resets)
+    out3 = spec.generate([5, 9, 2], 10, ignore_eos=True, sp=sp, seed=4)
+    assert out3 != out1  # and actually stochastic across seeds
+
+
+def test_spec_sampled_unrelated_draft_runs(models):
+    cfg_t, params_t, cfg_d, params_d = models
+    sp = SamplerParams(temp=1.0, top_k=0, top_p=1.0, repeat_penalty=1.0)
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_d, params_d,
+        SpecConfig(n_ctx=64, gamma=2, rounds_per_block=4),
+    )
+    out = spec.generate([7, 3], 12, ignore_eos=True, sp=sp, seed=0)
+    assert len(out) == 12 and all(0 <= t < cfg_t.n_vocab for t in out)
+
+
+def test_spec_rejection_scheme_is_unbiased():
+    """NumPy twin of the round's accept/residual math: the first emitted
+    token must be distributed exactly as p_target, whatever the draft."""
+    rng = np.random.default_rng(0)
+    V = 16
+    pt = rng.dirichlet(np.ones(V) * 0.5)
+    pd = rng.dirichlet(np.ones(V) * 0.5)
+    N = 200_000
+    d = rng.choice(V, N, p=pd)
+    u = rng.uniform(size=N)
+    ratio = pt[d] / np.maximum(pd[d], 1e-30)
+    accept = u < np.minimum(ratio, 1.0)
+    resid = np.maximum(pt - pd, 0.0)
+    resid = resid / resid.sum()
+    emitted = np.where(accept, d, rng.choice(V, N, p=resid))
+    emp = np.bincount(emitted, minlength=V) / N
+    assert np.abs(emp - pt).sum() < 0.01  # total variation ~ noise floor
