@@ -204,9 +204,12 @@ class SpeculativeEngine:
         self._block = make_spec_decode_block(cfg_t, cfg_d, scfg.gamma)
         self._sample_blocks: dict = {}  # (sp_t, sp_d) -> compiled block
 
-        def make_prefill(cfg, params):
+        def make_prefill(cfg):
+            # params is an ARGUMENT: closure capture would bake multi-GB
+            # weights into the program as constants (and the axon AOT path
+            # would serialize them through the tunnel on every compile)
             @jax.jit
-            def _prefill(tokens, cache, last_idx):
+            def _prefill(params, tokens, cache, last_idx):
                 logits, cache, _ = llama_forward(
                     params, tokens, cache, jnp.int32(0), cfg, last_idx=last_idx
                 )
@@ -214,8 +217,8 @@ class SpeculativeEngine:
 
             return _prefill
 
-        self._prefill_t = make_prefill(cfg_t, params_t)
-        self._prefill_d = make_prefill(cfg_d, params_d)
+        self._prefill_t = partial(make_prefill(cfg_t), params_t)
+        self._prefill_d = partial(make_prefill(cfg_d), params_d)
         self.stats = {"rounds": 0, "accepted": 0, "emitted": 0}
         self.reset()
 

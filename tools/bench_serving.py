@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
     args = ap.parse_args()
 
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
@@ -40,7 +41,8 @@ def main():
     eng = BatchedEngine(
         cfg,
         params,
-        BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block),
+        BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block,
+                    kv_dtype=args.kv_dtype),
     )
 
     rng = np.random.default_rng(0)

@@ -1,0 +1,87 @@
+"""Speculative-decoding round cost on the real chip.
+
+Synthetic weights make measured ACCEPTANCE meaningless (a random draft never
+matches a random target), so this reports the engineering numbers that are
+meaningful: the cost of one draft+verify round vs one plain decode step, and
+the break-even expected-tokens-per-round.
+
+  speedup(E) = E * t_plain / t_round,  E = expected emitted tokens/round
+  (E ranges 1..gamma; with a well-matched draft E ≈ 1 + a*(gamma-1) for
+  acceptance rate a)
+
+usage: PYTHONPATH=.:/root/.axon_site python tools/bench_spec.py [--gamma 4]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llamavk_tpu.models import LLAMA_CONFIGS, ModelConfig, init_kv_cache, synthetic_params
+from llamavk_tpu.runtime.speculative import SpecConfig, SpeculativeEngine
+
+# a ~1B-class draft (TinyLlama-ish proportions, Q4_0)
+DRAFT_CFG = dict(
+    n_vocab=32000, n_embd=2048, n_layer=16, n_head=16, n_rot=128, n_ff=5632
+)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--n-ctx", type=int, default=512)
+    args = ap.parse_args()
+
+    cfg_t = ModelConfig(**LLAMA_CONFIGS[args.model])
+    cfg_d = ModelConfig(**DRAFT_CFG)
+    log(f"building synthetic {args.model} target + 1B-class draft ...")
+    params_t = synthetic_params(cfg_t, seed=0)
+    params_d = synthetic_params(cfg_d, seed=1)
+
+    # small rounds_per_block keeps the block program's trace size down
+    # (each round traces gamma draft forwards + one target forward)
+    spec = SpeculativeEngine(
+        cfg_t, params_t, cfg_d, params_d,
+        SpecConfig(n_ctx=args.n_ctx, gamma=args.gamma, rounds_per_block=4),
+    )
+    R = spec.scfg.rounds_per_block
+    # warm: compiles both prefills + the block (the block program traces
+    # gamma draft forwards + one target forward per round)
+    spec.generate([1, 2, 3, 4], 2, ignore_eos=True)
+    # with an unrelated synthetic draft acceptance is ~0, so every round
+    # emits exactly one token: tokens/sec IS rounds/sec
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = spec.generate([1, 2, 3, 4], 8 * R, ignore_eos=True)
+        best = min(best, time.perf_counter() - t0)
+    per_round = best / (8 * R)
+    log(
+        f"gamma={args.gamma}: {per_round * 1e3:.2f} ms per draft+verify round"
+        f" ({R} rounds/block, ~0% acceptance with the synthetic draft)"
+    )
+    t_plain = 7.7e-3  # measured plain decode s/token (bench.py)
+    log(
+        f"break-even expected tokens/round: {per_round / t_plain:.2f}"
+        f" (of max {args.gamma}); speedup at full acceptance:"
+        f" {args.gamma * t_plain / per_round:.2f}x."
+        " On one v5e the Q4 target step is only ~7.7 ms, so speculative"
+        " decoding needs a strongly-matched draft (acceptance >~85% at"
+        " gamma=4) to pay off — the capability is here for when one exists."
+    )
+    print(
+        f'{{"metric": "speculative round cost {args.model}+1B gamma={args.gamma}",'
+        f' "value": {per_round * 1e3:.2f}, "unit": "ms/round"}}'
+    )
+
+
+if __name__ == "__main__":
+    main()
