@@ -13,6 +13,7 @@ from .loader import (
     load_model,
     params_from_reader,
     random_tiny_model,
+    random_ref_model,
     synthetic_params,
     LLAMA_CONFIGS,
 )

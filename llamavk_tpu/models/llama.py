@@ -225,6 +225,7 @@ def _attention(
     k_scale: jax.Array | None = None,  # [B, S, H]: int8 cache (numerics oracle
     v_scale: jax.Array | None = None,  # dequantizes the whole layer slice)
     kv_pos: jax.Array | None = None,  # [S, B]: history-ring positions
+    softmax_fn=None,  # ggml-emulation override (ggml_numerics.softmax_ggml)
 ) -> jax.Array:
     """Causal attention of T new queries against the (updated) cache.
 
@@ -265,7 +266,7 @@ def _attention(
         jpos = jnp.arange(s)  # [S]
         mask = jpos[None, None, :] <= tpos[:, :, None]  # [B, T, S]
     scores = jnp.where(mask[:, None], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = (softmax_fn or jax.nn.softmax)(scores, axis=-1)
     out = jnp.einsum(
         "bhts,bhsd->bthd",
         probs.astype(v_cache.dtype),
@@ -295,6 +296,10 @@ def llama_forward(
     cache_batch_offset: jax.Array | int = 0,  # first cache row these tokens
     # occupy (pp microbatching: a stage runs a batch SLICE against its
     # full-batch cache; kernels index rows at offset instead of slicing)
+    ggml_rounding: str | None = None,  # differential-parity oracle: emulate
+    # the C reference's scalar numerics (f16/q4_0 activation rounding per
+    # matmul, f16-table silu/exp, 1/sqrt rms_norm — models/ggml_numerics.py).
+    # Requires dense (dequantized) weights, attn_impl="einsum", dtype=f32.
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -312,7 +317,28 @@ def llama_forward(
     h, d = cfg.n_head, cfg.head_dim
     boff = cache_batch_offset
 
+    if ggml_rounding is not None:
+        from . import ggml_numerics as gn
+
+        act_rt = gn.act_rounding(ggml_rounding)
+        _rms_norm = gn.rms_norm_ggml
+        _silu = gn.silu_ggml
+        _softmax = gn.softmax_ggml
+        if attn_impl != "einsum":
+            raise ValueError("ggml_rounding requires attn_impl='einsum'")
+        if isinstance(params.output, QWeight):
+            raise ValueError(
+                "ggml_rounding requires dense weights (load with dequantize=True)"
+            )
+    else:
+        act_rt = None
+        _rms_norm = rms_norm
+        _silu = None
+        _softmax = None
+
     def _linear_l(xx, w, l):
+        if act_rt is not None:
+            xx = act_rt(xx)
         # stacked per-layer weight: QWeights stream layer l's tiles straight
         # from the stacked HBM array inside the kernel (scalar-prefetch
         # index_map). Letting lax.scan dynamic-slice the stacked weights
@@ -386,7 +412,7 @@ def llama_forward(
         bq = x.shape[0]  # rows this step operates on (b, or b/M under pp)
         # --- attention block (llama.cpp:976-1070)
         attn_norm_l = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, False)
-        xa = rms_norm(x, attn_norm_l, cfg.norm_eps)
+        xa = _rms_norm(x, attn_norm_l, cfg.norm_eps)
         if fused:
             qkv = _linear_l(xa, lp.wqkv, l)
             e_loc = qkv.shape[-1] // 3
@@ -493,6 +519,7 @@ def llama_forward(
                 attn = _attention(
                     q, k_l, v_l, npast_l, k_scale=ks_l, v_scale=vs_l,
                     kv_pos=None if new_pos is None else brows(new_pos, axis=1),
+                    softmax_fn=_softmax,
                 )  # [B,T,H,D] f32
         attn = attn.reshape(bq, t, -1).astype(dtype)
         wo_out = _row_linear_l(attn, lp.wo, l)
@@ -501,7 +528,7 @@ def llama_forward(
         x = x + wo_out
         # --- FFN block (llama.cpp:1073-1101)
         ffn_norm_l = jax.lax.dynamic_index_in_dim(lp.ffn_norm, l, 0, False)
-        xf = rms_norm(x, ffn_norm_l, cfg.norm_eps)
+        xf = _rms_norm(x, ffn_norm_l, cfg.norm_eps)
         if fused:
             gu = _linear_l(xf, lp.w13, l)
             f_loc = gu.shape[-1] // 2
@@ -509,9 +536,10 @@ def llama_forward(
         else:
             gate = _linear_l(xf, lp.w1, l)
             up = _linear_l(xf, lp.w3, l)
-        act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(
-            dtype
-        )
+        act = (
+            (_silu or jax.nn.silu)(gate.astype(jnp.float32))
+            * up.astype(jnp.float32)
+        ).astype(dtype)
         w2_out = _row_linear_l(act, lp.w2, l)
         if tp_axis is not None:
             w2_out = jax.lax.psum(w2_out, tp_axis)
@@ -615,7 +643,7 @@ def llama_forward(
             # only the last stage deposited real rows; broadcast via psum
             x = jax.lax.psum(outs, pp_axis).reshape(b, t, kdim)
 
-    xn = rms_norm(x, params.norm, cfg.norm_eps)
+    xn = _rms_norm(x, params.norm, cfg.norm_eps)
     # last_idx: true final position when the caller bucket-padded T (traced,
     # so one compiled program serves every prompt length within a bucket);
     # a [B] vector gives per-row positions (batched admission prefill)
@@ -638,7 +666,7 @@ def llama_forward(
         logits = q4_matmul(xn, out_w, out_dtype=jnp.float32, layer_idx=jnp.int32(0))
     else:
         logits = jnp.dot(
-            xn.astype(jnp.float32),
+            (act_rt(xn) if act_rt is not None else xn).astype(jnp.float32),
             params.output.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )

@@ -36,6 +36,16 @@ from .. import native
 from .llama import FusedLayerParams, LayerParams, LlamaParams, ModelConfig, QEmbedding
 
 
+# file-level ftype → the activation rounding ggml's mul_mat INIT phase
+# applies for that weight format (llama_forward ggml_rounding; the
+# differential-parity oracle, models/ggml_numerics.py)
+GGML_ROUNDING_BY_FTYPE = {
+    GGML_FTYPE_F32: "f32",
+    GGML_FTYPE_F16: "f16",
+    GGML_FTYPE_Q4_0: "q4_0",
+}
+
+
 def _put(arr, sharding=None, dtype=None):
     if dtype is not None:
         arr = np.asarray(arr, dtype)
@@ -137,13 +147,18 @@ def params_from_reader(
     tp: int = 1,
     fuse: bool = True,
     progress_callback=None,
+    dequantize: bool = False,
 ) -> tuple[ModelConfig, LlamaParams]:
     """Build the device param pytree. `shardings`: optional dict mapping
     tensor-kind ('wq', 'w2', 'output', ...) → jax.sharding.Sharding.
     `tp` > 1 chunk-packs row-parallel weights for a tp-way mesh axis.
     `fuse` concatenates wq|wk|wv and w1|w3 (fewer, larger kernel launches).
     `progress_callback(frac)` is invoked per layer (llama_progress_callback
-    parity, llama.h:48/62-65)."""
+    parity, llama.h:48/62-65).
+    `dequantize` loads every 2-D weight as dense f32 holding the EXACT
+    dequantized file values (d*(q-8) per element, same fp32 product the
+    reference's scalar vec_dot computes) — the differential-parity oracle
+    path (llama_forward ggml_rounding)."""
     cfg = ModelConfig.from_hparams(reader.hparams)
     # trust the tensors over the n_mult-derived n_ff (a checkpoint written
     # with a free-standing FFN width is otherwise mis-reported)
@@ -166,7 +181,12 @@ def params_from_reader(
         file=_sys.stderr,
     )
 
+    if dequantize:
+        scale_dtype = dense_dtype = jnp.float32
+
     def rp(name: str, kind: str):
+        if dequantize:
+            return np.ascontiguousarray(reader.load_f32(name).T.astype(np.float32))
         return _read_packed(
             reader, name, layout, tp if kind in ROW_PARALLEL_KINDS else 1
         )
@@ -217,8 +237,12 @@ def params_from_reader(
         )
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     params = LlamaParams(
-        tok_embeddings=_load_embedding(
-            reader, "tok_embeddings.weight", scale_dtype, dense_dtype
+        tok_embeddings=(
+            _put(reader.load_f32("tok_embeddings.weight"), dtype=jnp.float32)
+            if dequantize
+            else _load_embedding(
+                reader, "tok_embeddings.weight", scale_dtype, dense_dtype
+            )
         ),
         layers=stacked,
         norm=_put(reader.load_f32("norm.weight"), sh.get("norm")),
@@ -305,6 +329,82 @@ def random_tiny_model(
                     )
                 else:
                     wtr.write_array(name, arr, GGML_FTYPE_F32)
+    return hp, tensors
+
+
+def random_ref_model(
+    write_path: str,
+    vocab_path: str,
+    n_embd: int = 128,
+    n_head: int = 4,
+    n_layer: int = 32,
+    n_mult: int = 32,
+    seed: int = 3,
+    scale: float = 0.4,
+    ftype: int = GGML_FTYPE_F16,
+):
+    """Write a tiny checkpoint the *compiled C reference* can load and run.
+
+    Differences from random_tiny_model that the reference requires:
+    - n_layer=32 so llama_model_load_internal classifies it MODEL_7B — its
+      memory-budget maps are keyed by model type and `.at()` an unknown type
+      throws (llama.cpp:24-67,773-779).
+    - n_ff comes from the reference's formula ((2*4*n_embd/3 + n_mult-1) /
+      n_mult)*n_mult (llama.cpp:771) because the reference derives it and
+      shape-checks every FFN tensor against the derived value.
+    - a real vocab (e.g. the reference's models/ggml-vocab.bin fixture) so
+      both sides tokenize prompts identically.
+    - 2-D weights stored f16, norms f32 (convert-pth-to-ggml.py layout) so
+      ./quantize accepts the file.
+
+    Returns (hparams, tensors dict of f32 arrays as written pre-f16-rounding).
+    """
+    from ..formats.ggml_io import CheckpointReader, CheckpointWriter
+
+    vocab = CheckpointReader(vocab_path).vocab
+    rng = np.random.default_rng(seed)
+    hp = Hparams(
+        n_vocab=len(vocab),
+        n_embd=n_embd,
+        n_mult=n_mult,
+        n_head=n_head,
+        n_layer=n_layer,
+        n_rot=n_embd // n_head,
+        ftype=ftype,
+    )
+    n_ff = hp.n_ff
+
+    def w(*shape):
+        a = (rng.standard_normal(shape) * scale).astype(np.float32)
+        # round through f16 so the in-memory tensors equal the file contents
+        return a.astype(np.float16).astype(np.float32)
+
+    tensors: dict[str, np.ndarray] = {
+        "tok_embeddings.weight": w(len(vocab), n_embd),
+        "norm.weight": np.abs(w(n_embd)) + 0.5,
+        "output.weight": w(len(vocab), n_embd),
+    }
+    for i in range(n_layer):
+        p = f"layers.{i}."
+        tensors[p + "attention_norm.weight"] = np.abs(w(n_embd)) + 0.5
+        tensors[p + "ffn_norm.weight"] = np.abs(w(n_embd)) + 0.5
+        for nm, shape in [
+            ("attention.wq.weight", (n_embd, n_embd)),
+            ("attention.wk.weight", (n_embd, n_embd)),
+            ("attention.wv.weight", (n_embd, n_embd)),
+            ("attention.wo.weight", (n_embd, n_embd)),
+            ("feed_forward.w1.weight", (n_ff, n_embd)),
+            ("feed_forward.w2.weight", (n_embd, n_ff)),
+            ("feed_forward.w3.weight", (n_ff, n_embd)),
+        ]:
+            tensors[p + nm] = w(*shape)
+
+    with CheckpointWriter(write_path, hp, vocab) as wtr:
+        for name, arr in tensors.items():
+            if arr.ndim == 2:
+                wtr.write_array(name, arr.astype(np.float16), GGML_FTYPE_F16)
+            else:
+                wtr.write_array(name, arr, GGML_FTYPE_F32)
     return hp, tensors
 
 

@@ -39,6 +39,14 @@ class EngineConfig:
     # the reference CLI's swap-and-re-eval (keeps ring_keep pinned rows +
     # the most recent n_ctx - ring_keep positions)
     ring_keep: int = 0
+    dtype: str = "bfloat16"  # activation compute dtype; "float32" is the
+    # numerics-oracle mode used for differential parity against the compiled
+    # C reference (tests/test_reference_parity.py)
+    attn_impl: str = "auto"  # forwarded to llama_forward ("einsum" = oracle)
+    ggml_numerics: str | None = None  # "f16"/"q4_0": emulate the reference's
+    # scalar numerics exactly (models/ggml_numerics.py); needs dense params
+    # (load_model(dequantize=True)), dtype=float32, attn_impl=einsum,
+    # kv_dtype=float32 — the --memory_f32 oracle configuration
 
 
 @dataclass
@@ -81,7 +89,9 @@ class Timings:
         return "\n".join(lines)
 
 
-def make_decode_block(cfg: ModelConfig, ring_keep: int = 0):
+def make_decode_block(cfg: ModelConfig, ring_keep: int = 0,
+                      dtype=jnp.bfloat16, attn_impl: str = "auto",
+                      ggml_rounding: str | None = None):
     """Build the jitted device-side decode loop for a model config.
 
     Returns fn(params, tok0, cache, last_tokens, key, n_past, sp, n_steps,
@@ -96,7 +106,8 @@ def make_decode_block(cfg: ModelConfig, ring_keep: int = 0):
             tok, cache, last, key = state
             logits, cache, _ = llama_forward(
                 params, tok.reshape(1, 1), cache, n_past + i, cfg,
-                ring_keep=ring_keep,
+                ring_keep=ring_keep, dtype=dtype, attn_impl=attn_impl,
+                ggml_rounding=ggml_rounding,
             )
             key, sub = jax.random.split(key)
             nxt = sample_token(logits[0, -1], last, sub, sp)
@@ -135,16 +146,26 @@ class Engine:
 
         cfg_ = cfg
         rk = ecfg.ring_keep
+        act_dtype = jnp.dtype(ecfg.dtype)
+        attn_impl = ecfg.attn_impl
+        ggml_rounding = ecfg.ggml_numerics
+        if ggml_rounding is not None and attn_impl == "auto":
+            attn_impl = "einsum"
 
         @partial(jax.jit, static_argnames=("logits_all",))
         def _prefill(params, tokens, cache, n_past, last_idx, logits_all=False):
             return llama_forward(
                 params, tokens, cache, n_past, cfg_,
                 logits_all=logits_all, last_idx=last_idx, ring_keep=rk,
+                dtype=act_dtype, attn_impl=attn_impl,
+                ggml_rounding=ggml_rounding,
             )
 
         self._prefill = _prefill
-        self._decode_block = make_decode_block(cfg, ring_keep=rk)
+        self._decode_block = make_decode_block(
+            cfg, ring_keep=rk, dtype=act_dtype, attn_impl=attn_impl,
+            ggml_rounding=ggml_rounding,
+        )
 
     # --- state ---------------------------------------------------------
 
