@@ -4,13 +4,18 @@ Features mirrored: prompt eval + streaming decode, sampling flags
 (top-k/top-p/temp/repeat-penalty/repeat-last-n), --ignore-eos, --n-keep with
 infinite-generation context swap (keep n_keep prompt tokens, re-feed half of
 the recent window on overflow, main.cpp:246-266), interactive mode with
-reverse-prompt (antiprompt) detection (main.cpp:348-366), and instruct
-(Alpaca) prefix/suffix injection (main.cpp:155-163,418-430).
+reverse-prompt (antiprompt) detection (main.cpp:348-366), instruct (Alpaca)
+prefix/suffix injection (main.cpp:155-163,418-430), SIGINT interject — first
+^C during interactive generation returns to the input prompt, second exits
+130 (main.cpp:26-36,348-366) — ANSI --color (common.cpp:286-302), --mtest
+memory probe (main.cpp:119-135), and --random-prompt (common.cpp:256-267).
 """
 
 from __future__ import annotations
 
 import argparse
+import random
+import signal
 import sys
 import time
 
@@ -22,6 +27,18 @@ from ..tokenizer import BOS_ID, EOS_ID
 
 INSTRUCT_PREFIX = "\n\n### Instruction:\n\n"
 INSTRUCT_SUFFIX = "\n\n### Response:\n\n"
+
+# ANSI colors (common.cpp:271-302): prompt echo yellow, user input bold
+# green, generated text default
+ANSI_RESET = "\x1b[0m"
+ANSI_YELLOW = "\x1b[33m"
+ANSI_BOLD_GREEN = "\x1b[1m\x1b[32m"
+
+# the reference's starter pool for --random-prompt (common.cpp:256-267)
+RANDOM_PROMPTS = [
+    "So", "Once upon a time", "When", "The", "After", "If", "import",
+    "He", "She", "They",
+]
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -62,6 +79,20 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
     ap.add_argument("-ins", "--instruct", action="store_true")
+    ap.add_argument(
+        "--color", action="store_true",
+        help="ANSI colors: prompt yellow, user input green (common.cpp)",
+    )
+    ap.add_argument(
+        "--mtest", action="store_true",
+        help="memory probe: eval a full batch at n_past=0 and one token at "
+        "n_past=n_predict-1, print timings, exit (main.cpp:119-135)",
+    )
+    ap.add_argument(
+        "--random-prompt", action="store_true",
+        help="start with a random short prompt when -p is empty",
+    )
+    ap.add_argument("-b", "--batch-size", type=int, default=8)
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -106,6 +137,26 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
         ),
     )
     engine.timings.t_load_us = (time.perf_counter() - t_load0) * 1e6
+
+    use_color = getattr(args, "color", False)
+
+    def put(text: str, color: str | None = None) -> None:
+        if use_color and color:
+            stdout.write(color + text + ANSI_RESET)
+        else:
+            stdout.write(text)
+        stdout.flush()
+
+    if getattr(args, "mtest", False):
+        # worst-case memory probe (main.cpp:119-135): largest prompt batch,
+        # then a decode step at the deepest n_past
+        engine.eval([0] * min(args.batch_size, args.ctx_size))
+        engine.reset()
+        engine.n_past = min(args.n_predict - 1, args.ctx_size - 1)
+        engine.eval([0])
+        print(engine.timings.report(), file=sys.stderr)
+        return 0
+
     sp = SamplerParams(
         top_k=args.top_k,
         top_p=args.top_p,
@@ -117,6 +168,9 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     if args.file:
         with open(args.file) as f:
             prompt = f.read()
+    if not prompt and getattr(args, "random_prompt", False):
+        rng = random.Random(args.seed if args.seed >= 0 else None)
+        prompt = rng.choice(RANDOM_PROMPTS)
     if args.instruct:
         args.interactive = True
         args.reverse_prompt.append(INSTRUCT_PREFIX.strip())
@@ -163,16 +217,44 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     reverse_seqs = [tok.encode(r, bos=False) for r in args.reverse_prompt]
     out_buf = bytearray()
 
+    # SIGINT interject (main.cpp:26-36): during interactive generation the
+    # first ^C stops the decode loop (at decode_block granularity) and drops
+    # to the input prompt; a second ^C while already interacting exits 130.
+    interject = {"flag": False, "waiting": False}
+    prev_handler = None
+
+    def _sigint(signo, frame):
+        if use_color:
+            stdout.write(ANSI_RESET)
+        stdout.write("\n")
+        stdout.flush()
+        if interject["waiting"] or interject["flag"]:
+            raise SystemExit(130)
+        interject["flag"] = True
+
+    if args.interactive:
+        prev_handler = signal.signal(signal.SIGINT, _sigint)
+
     def stream(t: int) -> bool:
         piece = tok.decode_token(t)
         out_buf.extend(piece)
         stdout.write(piece.decode("utf-8", errors="replace"))
         stdout.flush()
+        if interject["flag"]:
+            return False
         # antiprompt detection on the token tail
         for rs in reverse_seqs:
             if rs and engine.tokens[-len(rs):] == rs:
                 return False
         return True
+
+    # echo the prompt like the reference main (input echo on by default)
+    put(
+        b"".join(tok.decode_token(t) for t in prompt_tokens).decode(
+            "utf-8", errors="replace"
+        ),
+        ANSI_YELLOW,
+    )
 
     pending = prompt_tokens
     remaining = args.n_predict
@@ -189,20 +271,35 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
         )
         remaining -= len(got)
         ended = (not args.ignore_eos and got and got[-1] == EOS_ID)
-        if args.interactive and (remaining > 0 or ended):
+        if args.interactive:
+            # reference semantics: interactive mode keeps prompting when the
+            # budget runs out (n_remain resets, main.cpp:444-448); only stdin
+            # EOF ends the session
+            if remaining <= 0 or ended:
+                remaining = args.n_predict
+            interject["flag"] = False
             stdout.write("\n> ")
+            if use_color:
+                stdout.write(ANSI_BOLD_GREEN)
             stdout.flush()
-            line = stdin.readline()
+            interject["waiting"] = True
+            try:
+                line = stdin.readline()
+            finally:
+                interject["waiting"] = False
+                if use_color:
+                    stdout.write(ANSI_RESET)
+                    stdout.flush()
             if not line:
                 break
             if args.instruct:
                 line = INSTRUCT_PREFIX + line.rstrip("\n") + INSTRUCT_SUFFIX
             pending = tok.encode(line, bos=False)
-            if ended:
-                remaining = args.n_predict
             continue
         break
 
+    if prev_handler is not None:
+        signal.signal(signal.SIGINT, prev_handler)
     stdout.write("\n")
     print(engine.timings.report(), file=sys.stderr)
     return 0

@@ -26,7 +26,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.llama import LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from ..models.llama import (
+    KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward,
+)
 from .sampling import SamplerParams, sample_tokens_batched
 
 
@@ -100,15 +102,25 @@ class BatchedEngine:
             )
             return logits[:, 0, :], cacheN  # [N, V]
 
-        def seed_prefix(cacheP, n):
+        def slice_cache(c, s_len):
+            # first s_len POSITION rows of every cache plane (k/v keep S at
+            # axis 3, int8 scale planes keep S at axis 2 — see init_kv_cache)
+            return KVCache(
+                k=c.k[:, :, :, :s_len],
+                v=c.v[:, :, :, :s_len],
+                k_scale=None if c.k_scale is None else c.k_scale[:, :, :s_len],
+                v_scale=None if c.v_scale is None else c.v_scale[:, :, :s_len],
+            )
+
+        def seed_prefix(cacheP, n, s_len):
             # replicate the prefix cache's single batch row across an n-row
-            # scratch cache (rows past the prefix length are garbage that the
-            # suffix prefill / decode overwrite before they can be attended)
+            # scratch cache, bounded to the s_len rows admission touches —
+            # NOT the full n_ctx (admission cost must not scale with n_ctx)
             return jax.tree.map(
                 lambda a: jnp.broadcast_to(
                     a, a.shape[:1] + (n,) + a.shape[2:]
                 ).copy(),
-                cacheP,
+                slice_cache(cacheP, s_len),
             )
 
 
@@ -138,12 +150,12 @@ class BatchedEngine:
 
         @partial(
             jax.jit,
-            static_argnames=("n", "top_k", "prefixed"),
+            static_argnames=("n", "top_k", "prefixed", "scratch_len"),
             donate_argnums=(1,),
         )
         def _admit_chunk(params, cache, pfx_cache, toks, n_past0, last_idx,
                          slots, seeds, last_windows, top_p, temp, penalty,
-                         n, top_k, prefixed):
+                         n, top_k, prefixed, scratch_len):
             # ONE device program per admission chunk: scratch-cache seeding,
             # suffix prefill, per-row slot inserts, and the batched
             # first-token sample. The axon tunnel charges ~25-30 ms of host
@@ -151,11 +163,18 @@ class BatchedEngine:
             # dispatches into one is what keeps admission off the serving
             # critical path (measured: non-decode wall dominated by
             # dispatch count, not device compute).
+            #
+            # scratch_len bounds EVERY admission copy (seed, prefill cache,
+            # slot insert) to the position rows the chunk actually touches —
+            # pow2(prefix + prompt bucket), NOT n_ctx. Rows past scratch_len
+            # in the slot keep the previous occupant's stale K/V, which is
+            # sound: reads are masked to positions < n_past, and decode
+            # overwrites row n_past before attending to it.
             if prefixed:
-                cacheN = seed_prefix(pfx_cache, n)
+                cacheN = seed_prefix(pfx_cache, n, scratch_len)
             else:
                 cacheN = init_kv_cache(
-                    cfg_, n, bcfg_.n_ctx, dtype=jnp.dtype(bcfg_.kv_dtype)
+                    cfg_, n, scratch_len, dtype=jnp.dtype(bcfg_.kv_dtype)
                 )
             logits, cacheN, _ = llama_forward(
                 params, toks, cacheN, n_past0, cfg_, last_idx=last_idx
@@ -264,6 +283,14 @@ class BatchedEngine:
             # suffix writes live at [pfx_len, pfx_len + bucket): clamp the
             # padding so they cannot run past the slot region
             bucket = min(bucket, self.bcfg.n_ctx - pfx_len)
+            # admission touches rows [0, pfx_len + bucket); bound every copy
+            # to the next power of two of that (64 floor keeps the flash
+            # kernel's K-block divisibility), independent of n_ctx
+            need = pfx_len + bucket
+            scratch_len = 64
+            while scratch_len < need:
+                scratch_len *= 2
+            scratch_len = min(scratch_len, self.bcfg.n_ctx)
             i = 0
             while i < len(items):
                 n = 1 << max(0, (len(items) - i).bit_length() - 1)
@@ -308,6 +335,7 @@ class BatchedEngine:
                     n=n,
                     top_k=self.bcfg.top_k,
                     prefixed=pfx >= 0,
+                    scratch_len=scratch_len,
                 )
                 self.stats["prefills"] += n
                 self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1

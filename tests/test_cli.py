@@ -91,3 +91,78 @@ def test_embedding_cli(f32_model, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().split()
     assert len(out) == 128  # n_embd of the tiny model
+
+
+def test_generate_cli_mtest_color_random(f32_model, tmp_path):
+    """--mtest probes memory and exits 0; --color wraps the prompt echo in
+    ANSI yellow; --random-prompt picks a seeded starter when -p is empty."""
+    from llamavk_tpu.cli.generate import ANSI_YELLOW, RANDOM_PROMPTS, build_argparser, run
+
+    args = build_argparser().parse_args(
+        ["-m", f32_model, "--mtest", "-n", "8", "-c", "32"]
+    )
+    assert run(args, stdout=io.StringIO()) == 0
+
+    args = build_argparser().parse_args(
+        ["-m", f32_model, "--random-prompt", "--color", "-s", "3", "-n", "2",
+         "--temp", "0", "-c", "64", "--ignore-eos"]
+    )
+    out = io.StringIO()
+    assert run(args, stdout=out) == 0
+    text = out.getvalue()
+    # prompt echo is wrapped in yellow (the tiny model's <tNN> vocab cannot
+    # round-trip the starter words themselves, so assert the color framing)
+    assert ANSI_YELLOW in text and "\x1b[0m" in text
+    assert RANDOM_PROMPTS  # starter pool exists (seeded choice is host-side)
+
+
+def test_generate_cli_sigint_interject(f32_model):
+    """First ^C during interactive generation drops to the input prompt
+    (main.cpp:26-36); a second ^C while waiting for input exits 130."""
+    import signal
+
+    from llamavk_tpu.cli.generate import build_argparser, run
+
+    class InterruptingOut(io.StringIO):
+        """Raises SIGINT in-process after the first generated token lands."""
+
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def write(self, s):
+            r = super().write(s)
+            if not self.fired and s and not s.startswith("\x1b"):
+                # fire once, mid-generation (handler runs synchronously)
+                self.fired = True
+                signal.raise_signal(signal.SIGINT)
+            return r
+
+    class OneLineStdin:
+        def __init__(self):
+            self.lines = ["more\n"]
+
+        def readline(self):
+            return self.lines.pop(0) if self.lines else ""
+
+    args = build_argparser().parse_args(
+        ["-m", f32_model, "-p", "hi", "-i", "-n", "6", "--temp", "0",
+         "-c", "64", "--ignore-eos"]
+    )
+    out = InterruptingOut()
+    rc = run(args, stdin=OneLineStdin(), stdout=out)
+    assert rc == 0
+    assert out.fired and "> " in out.getvalue()
+
+    class SigintStdin:
+        def readline(self):
+            signal.raise_signal(signal.SIGINT)  # ^C while interacting
+            return "never\n"
+
+    args = build_argparser().parse_args(
+        ["-m", f32_model, "-p", "hi", "-i", "-n", "2", "--temp", "0",
+         "-c", "64", "--ignore-eos"]
+    )
+    with pytest.raises(SystemExit) as ei:
+        run(args, stdin=SigintStdin(), stdout=io.StringIO())
+    assert ei.value.code == 130
