@@ -30,10 +30,33 @@ from llamavk_tpu.models import (
 )
 
 BASELINE_TOK_S = 1000.0 / 61.41  # README.md:137-141 of the reference
+V5E_HBM_GBPS = 819.0  # v5e HBM peak; the speed-of-light denominator
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def decode_step_bytes(params, cfg, batch, n_ctx, kv_itemsize, n_past_avg,
+                      kv_scale_bytes=0.0, block_k=256):
+    """HBM bytes one decode step must move (roofline denominator).
+
+    Weights: every parameter is read once per step EXCEPT the embedding
+    table, which is gathered (batch rows). KV: the flash kernel DMAs the
+    ragged prefix rounded up to its block_k (ops/flash_attn.py::_attend
+    bounds nblocks by npast), reads K and V per layer, and RMW-writes one
+    step*-aligned window per new row; activations/residuals live in VMEM
+    between fused ops and are not charged."""
+    leaves = jax.tree_util.tree_leaves(params)
+    total_w = sum(x.nbytes for x in leaves)
+    emb = sum(x.nbytes for x in jax.tree_util.tree_leaves(params.tok_embeddings))
+    w_bytes = total_w - emb + batch * (emb // cfg.n_vocab)
+    s_read = min(-(-int(n_past_avg + 1) // block_k) * block_k, n_ctx)
+    row = cfg.n_head * cfg.head_dim * kv_itemsize + kv_scale_bytes
+    kv_read = cfg.n_layer * 2 * batch * s_read * row
+    win = 32 if kv_itemsize == 1 else 8  # RMW window rows (tile-aligned)
+    kv_write = cfg.n_layer * 2 * batch * 2 * win * row
+    return w_bytes, kv_read + kv_write
 
 
 def main():
@@ -112,7 +135,7 @@ def main():
     log(f"compile+warmup({measure} tokens): {time.perf_counter() - t0:.1f}s")
 
     best_dt = float("inf")
-    n_past = measure
+    n_past = best_np = measure
     rounds = 3
     for r in range(rounds):
         n_past = measure * (r + 1) % (n_ctx - measure)
@@ -121,13 +144,31 @@ def main():
         toks_h = np.asarray(toks)
         dt = time.perf_counter() - t0
         log(f"round {r}: {dt / measure * 1e3:.2f} ms/token")
-        best_dt = min(best_dt, dt)
+        if dt < best_dt:
+            best_dt, best_np = dt, n_past
     ms_tok = best_dt / measure * 1e3
     tok_s = measure / best_dt * batch
     log(
         f"decode: {ms_tok:.2f} ms/step = {tok_s:.2f} tok/s"
         f"{f' aggregate (batch {batch})' if batch > 1 else ''}"
         f" (best of {rounds}x{measure})"
+    )
+
+    # roofline: achieved HBM bandwidth vs the 819 GB/s speed-of-light
+    kv_item = kv_dtype.itemsize
+    scale_b = 4 * max(128, -(-cfg.n_head // 128) * 128) if kv_item == 1 else 0
+    w_b, kv_b = decode_step_bytes(
+        params, cfg, batch, n_ctx, kv_item, best_np + measure / 2,
+        kv_scale_bytes=scale_b,
+    )
+    step_b = w_b + kv_b
+    gbps = step_b / (best_dt / measure) / 1e9
+    log(
+        f"roofline: {w_b/1e9:.2f} GB weights + {kv_b/1e6:.0f} MB KV per step"
+        f" -> {gbps:.0f} GB/s achieved = {gbps/V5E_HBM_GBPS*100:.0f}% of"
+        f" {V5E_HBM_GBPS:.0f} GB/s SoL"
+        f" (SoL step {step_b/V5E_HBM_GBPS/1e6:.2f} ms ="
+        f" {batch*V5E_HBM_GBPS*1e9/step_b:.0f} tok/s)"
     )
 
     print(
@@ -141,6 +182,8 @@ def main():
                 "value": round(tok_s, 2),
                 "unit": "tok/s/chip",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
+                "achieved_gbps": round(gbps),
+                "pct_speed_of_light": round(gbps / V5E_HBM_GBPS * 100),
             }
         )
     )

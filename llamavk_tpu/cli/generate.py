@@ -124,6 +124,19 @@ class ContextManager:
 def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     t_load0 = time.perf_counter()
     cfg, params, tok = load_model(args.model)
+
+    prompt = args.prompt
+    if args.file:
+        with open(args.file) as f:
+            prompt = f.read()
+    if not prompt and getattr(args, "random_prompt", False):
+        rng = random.Random(args.seed if args.seed >= 0 else None)
+        prompt = rng.choice(RANDOM_PROMPTS)
+    # reference behavior: prepend a space to the prompt (main.cpp:138-141)
+    prompt_tokens = tok.encode(" " + prompt, bos=True)
+    # --n-keep -1 = keep the whole prompt (main.cpp:151-153)
+    n_keep = args.n_keep if args.n_keep > 0 else len(prompt_tokens)
+
     ring = getattr(args, "ctx_swap", "reeval") == "ring"
     engine = Engine(
         cfg,
@@ -133,7 +146,7 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
             seed=args.seed if args.seed >= 0 else 0,
             kv_dtype=getattr(args, "kv_dtype", "bfloat16"),
             ctx_ring=ring,
-            ring_keep=min(max(args.n_keep, 0), args.ctx_size // 2) if ring else 0,
+            ring_keep=min(n_keep, args.ctx_size // 2) if ring else 0,
         ),
     )
     engine.timings.t_load_us = (time.perf_counter() - t_load0) * 1e6
@@ -164,20 +177,10 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
         repeat_penalty=args.repeat_penalty,
         repeat_last_n=args.repeat_last_n,
     )
-    prompt = args.prompt
-    if args.file:
-        with open(args.file) as f:
-            prompt = f.read()
-    if not prompt and getattr(args, "random_prompt", False):
-        rng = random.Random(args.seed if args.seed >= 0 else None)
-        prompt = rng.choice(RANDOM_PROMPTS)
     if args.instruct:
         args.interactive = True
         args.reverse_prompt.append(INSTRUCT_PREFIX.strip())
 
-    # reference behavior: prepend a space to the prompt (main.cpp:138-141)
-    prompt_tokens = tok.encode(" " + prompt, bos=True)
-    n_keep = args.n_keep if args.n_keep > 0 else len(prompt_tokens)
     ctxman = ContextManager(engine, args.ctx_size, min(n_keep, args.ctx_size // 2))
 
     draft = getattr(args, "draft_model", None)

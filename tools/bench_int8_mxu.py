@@ -104,7 +104,7 @@ def run_current(k, n, b=8, bn=512):
         ],
         out_specs=pl.BlockSpec((b, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     )
-    return time_call(lambda xx: call(xx, packed, scales), x), half * n + 4 * g * n
+    return time_call(call, x, packed, scales), half * n + 4 * g * n
 
 
 def run_batched(k, n, b=8, bn=512, dot_dtype=jnp.int8):
@@ -126,28 +126,31 @@ def run_batched(k, n, b=8, bn=512, dot_dtype=jnp.int8):
         out_specs=pl.BlockSpec((b, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     )
     return (
-        time_call(lambda xx: call(xx, packed, scales, sx), xq),
+        time_call(call, xq, packed, scales, sx),
         half * n + 4 * g * n,
     )
 
 
-def time_call(fn, x):
+def time_call(fn, x, *rest):
+    # rest rides as jit ARGUMENTS, never closure captures: captured arrays
+    # become program constants that serialize through the axon tunnel at
+    # 1-8 MB/s per compile (CLAUDE.md).
     @partial(jax.jit, static_argnames=("inner",))
-    def loop(x, inner):
+    def loop(x, rest, inner):
         def body(c, _):
             xx = (x.reshape(-1).at[0].add(c.astype(x.dtype))).reshape(x.shape)
-            y = fn(xx)
+            y = fn(xx, *rest)
             return (y.ravel()[0] * 0).astype(x.dtype), None
 
         out, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None, length=inner)
         return out
 
     def t(inner):
-        np.asarray(loop(x, inner))
+        np.asarray(loop(x, rest, inner))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(loop(x, inner))
+            np.asarray(loop(x, rest, inner))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -156,20 +159,20 @@ def time_call(fn, x):
 
 def main():
     shapes = [(4096, 11008), (11008, 4096), (4096, 12288)]
-    for b in (8, 1):
-        for k, n in shapes:
-            row = [f"B={b} K={k:5d} N={n:5d}"]
-            for name, runner in [
-                ("current", lambda: run_current(k, n, b=max(b, 8))),
-                ("i8", lambda: run_batched(k, n, b=max(b, 8), dot_dtype=jnp.int8)),
-                ("bf16", lambda: run_batched(k, n, b=max(b, 8), dot_dtype=jnp.bfloat16)),
-            ]:
-                try:
-                    dt, nbytes = runner()
-                    row.append(f"{name} {dt*1e6:7.1f}us {nbytes/dt/1e9:4.0f}GB/s")
-                except Exception as e:
-                    row.append(f"{name} FAIL:{type(e).__name__}:{str(e)[:80]}")
-            log("  ".join(row))
+    b = 8  # MXU minimum tile rows; B=1 decode pads to 8 either way
+    for k, n in shapes:
+        row = [f"B={b} K={k:5d} N={n:5d}"]
+        for name, runner in [
+            ("current", lambda: run_current(k, n, b=b)),
+            ("i8", lambda: run_batched(k, n, b=b, dot_dtype=jnp.int8)),
+            ("bf16", lambda: run_batched(k, n, b=b, dot_dtype=jnp.bfloat16)),
+        ]:
+            try:
+                dt, nbytes = runner()
+                row.append(f"{name} {dt*1e6:7.1f}us {nbytes/dt/1e9:4.0f}GB/s")
+            except Exception as e:
+                row.append(f"{name} FAIL:{type(e).__name__}:{str(e)[:80]}")
+        log("  ".join(row))
 
 
 if __name__ == "__main__":
