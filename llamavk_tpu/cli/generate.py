@@ -76,6 +76,13 @@ def build_argparser() -> argparse.ArgumentParser:
         "--draft-n", type=int, default=4,
         help="draft tokens proposed per verify round (gamma)",
     )
+    ap.add_argument(
+        "--draft-lookup", action="store_true",
+        help="speculative decoding WITHOUT a draft model: draft from the "
+        "most recent matching 2-gram in the context (prompt-lookup). A round "
+        "costs ~one decode step and emits 1..draft-n tokens, so this never "
+        "loses; it wins on text that revisits its own n-grams (greedy only)",
+    )
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
     ap.add_argument("-ins", "--instruct", action="store_true")
@@ -182,6 +189,36 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
         args.reverse_prompt.append(INSTRUCT_PREFIX.strip())
 
     ctxman = ContextManager(engine, args.ctx_size, min(n_keep, args.ctx_size // 2))
+
+    if getattr(args, "draft_lookup", False):
+        if args.temp > 0 or args.interactive or ring:
+            print(
+                "warning: --draft-lookup requires --temp 0, non-interactive, "
+                "non-ring; ignoring",
+                file=sys.stderr,
+            )
+        else:
+            from ..runtime.speculative import LookupEngine, SpecConfig
+
+            spec = LookupEngine(
+                cfg, params,
+                SpecConfig(n_ctx=args.ctx_size, gamma=max(1, args.draft_n),
+                           kv_dtype=getattr(args, "kv_dtype", "bfloat16")),
+            )
+            out = spec.generate(
+                prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos
+            )
+            text = b"".join(tok.decode_token(t) for t in out)
+            stdout.write(text.decode("utf-8", errors="replace"))
+            stdout.write("\n")
+            print(
+                f"lookup-speculative: {spec.stats['emitted']} tokens in "
+                f"{spec.stats['rounds']} rounds "
+                f"({spec.stats['emitted'] / max(spec.stats['rounds'], 1):.2f} "
+                "tok/round)",
+                file=sys.stderr,
+            )
+            return 0
 
     draft = getattr(args, "draft_model", None)
     if draft:

@@ -105,6 +105,82 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
     return spec_block
 
 
+def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
+    """Draft-model-free speculative decoding: prompt-lookup (n-gram) drafts.
+
+    The draft for the next gamma-1 positions is the continuation of the most
+    recent earlier occurrence of the current 2-gram (prev, tok) in the
+    consumed context. Drafting costs a handful of [S]-wide vector ops — no
+    second model, no extra weight streaming — so one round costs essentially
+    ONE plain decode step: the verify forward over gamma<=8 positions streams
+    the same weights as a 1-token step (decode is HBM-bound, and the flash
+    kernel pads query blocks to 8 anyway). Tokens per round is 1 + accepted,
+    so the scheme never trails plain decode by more than the (near-zero)
+    matching overhead, and wins whenever generated text revisits n-grams of
+    its own context (quotes, code, structured output).
+
+    Greedy equivalence: the emitted stream is EXACTLY the target's greedy
+    decode — drafts only change how many tokens a round yields, never their
+    values. Returns fn(params_t, tok0, ctx, cache, n_past, n_rounds) ->
+    (toks [n_rounds, gamma], counts [n_rounds], tok, ctx, cache, n_past)
+    where ctx is the [n_ctx] int32 device-side token history (rows < n_past
+    valid)."""
+
+    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3,))
+    def lookup_block(params_t, tok0, ctx, cache_t, n_past, n_rounds):
+        idx = jnp.arange(n_ctx, dtype=jnp.int32)
+
+        def round_body(state, _):
+            tok, ctx, cache_t, n_past = state
+            prev = ctx[jnp.maximum(n_past - 1, 0)]
+            # candidate match position p: the 2-gram (prev, tok) occurred at
+            # (p-1, p), with gamma-1 follower rows inside the consumed
+            # context; take the MOST RECENT such p
+            shifted = jnp.roll(ctx, 1)  # shifted[p] = ctx[p-1]
+            match = (
+                (idx >= 1)
+                & (idx <= n_past - gamma)
+                & (ctx == tok)
+                & (shifted == prev)
+            )
+            p = jnp.max(jnp.where(match, idx, -1))
+            draft = jax.lax.dynamic_slice(
+                ctx, (jnp.maximum(p, 0) + 1,), (gamma - 1,)
+            )
+            # no match: poison the draft so the agreeing prefix is empty and
+            # the round degrades to exactly one plain decode step
+            draft = jnp.where(p >= 0, draft, jnp.int32(-1))
+
+            seq = jnp.concatenate([tok.reshape(1), draft])  # [gamma] inputs
+            lg, cache_t, _ = llama_forward(
+                params_t, seq[None], cache_t, n_past, cfg_t, logits_all=True
+            )
+            y = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)  # [gamma]
+
+            agree = draft == y[: gamma - 1]
+            k = jnp.argmin(
+                jnp.concatenate([agree, jnp.zeros(1, bool)])
+            ).astype(jnp.int32)  # first disagreement; gamma-1 if all agree
+            draft_pad = jnp.concatenate([draft, jnp.zeros(1, jnp.int32)])
+            emitted = jnp.where(
+                jnp.arange(gamma) < k, draft_pad, y[jnp.minimum(k, gamma - 1)]
+            )
+            count = k + 1
+            tok_next = y[k]
+            # consumed-input rows: seq[0..k] are valid, the rest junk that
+            # the next round overwrites (rows >= n_past are never read)
+            ctx = jax.lax.dynamic_update_slice(ctx, seq, (n_past,))
+            return (tok_next, ctx, cache_t, n_past + count), (emitted, count)
+
+        state = (tok0, ctx, cache_t, n_past)
+        (tok, ctx, cache_t, n_past), (toks, counts) = jax.lax.scan(
+            round_body, state, None, length=n_rounds
+        )
+        return toks, counts, tok, ctx, cache_t, n_past
+
+    return lookup_block
+
+
 def make_spec_sample_block(cfg_t, cfg_d, gamma, sp_t: SamplerParams,
                            sp_d: SamplerParams):
     """Sampled speculative decoding: standard rejection sampling over the
@@ -322,6 +398,93 @@ class SpeculativeEngine:
         # the only valid context: prompt rows + every consumed token except
         # the final one (which is pending, never evaluated) — matching
         # Engine.generate's n_past accounting
+        out = out[:n_predict]
+        self.n_past = plen + max(len(out) - 1, 0)
+        return out
+
+    @property
+    def acceptance_rate(self) -> float:
+        r = self.stats["rounds"]
+        return self.stats["accepted"] / max(r * (self.scfg.gamma - 1), 1)
+
+
+class LookupEngine:
+    """Greedy decode with prompt-lookup (n-gram) speculative drafts.
+
+    No draft model: drafts come from the context itself, so a round costs
+    ~one plain decode step and yields 1..gamma tokens. The emitted stream is
+    exactly the target's greedy decode."""
+
+    def __init__(self, cfg: ModelConfig, params: LlamaParams,
+                 scfg: SpecConfig = SpecConfig()):
+        self.cfg, self.params = cfg, params
+        self.scfg = scfg
+        self._block = make_lookup_decode_block(cfg, scfg.gamma, scfg.n_ctx)
+
+        @jax.jit
+        def _prefill(params, tokens, cache, last_idx):
+            logits, cache, _ = llama_forward(
+                params, tokens, cache, jnp.int32(0), cfg, last_idx=last_idx
+            )
+            return logits[:, -1, :], cache
+
+        self._prefill = _prefill
+        self.stats = {"rounds": 0, "accepted": 0, "emitted": 0}
+        self.reset()
+
+    def reset(self) -> None:
+        self.cache = init_kv_cache(
+            self.cfg, 1, self.scfg.n_ctx, dtype=jnp.dtype(self.scfg.kv_dtype)
+        )
+        self.n_past = 0
+
+    def generate(self, prompt_tokens: list[int], n_predict: int,
+                 eos_id: int = 2, ignore_eos: bool = False) -> list[int]:
+        self.reset()
+        g = self.scfg.gamma
+        headroom = self.scfg.rounds_per_block * g + g + 1
+        assert (
+            len(prompt_tokens) + n_predict + headroom <= self.scfg.n_ctx
+        ), "context overflow (need rounds_per_block*gamma headroom)"
+        plen = len(prompt_tokens)
+        bucket = min(1 << (plen - 1).bit_length(), self.scfg.n_ctx)
+        padded = np.zeros(bucket, np.int32)
+        padded[:plen] = prompt_tokens
+        toks = jnp.asarray(padded)
+        logits, self.cache = self._prefill(
+            self.params, toks[None], self.cache, jnp.int32(plen - 1)
+        )
+        self.n_past += plen
+        ctx = jnp.zeros(self.scfg.n_ctx, jnp.int32)
+        ctx = jax.lax.dynamic_update_slice(ctx, toks[:plen], (0,))
+
+        tok = jnp.argmax(logits[0]).astype(jnp.int32)
+        out = [int(tok)]
+        if not ignore_eos and out[-1] == eos_id:
+            return out
+        npast_dev = jnp.int32(self.n_past)
+        while len(out) < n_predict:
+            toks_r, counts, tok, ctx, self.cache, npast_dev = self._block(
+                self.params, tok, ctx, self.cache, npast_dev,
+                self.scfg.rounds_per_block,
+            )
+            toks_h = np.asarray(toks_r)
+            counts_h = np.asarray(counts)
+            stop = False
+            for r in range(toks_h.shape[0]):
+                c = int(counts_h[r])
+                self.stats["rounds"] += 1
+                self.stats["accepted"] += c - 1
+                for t in toks_h[r, :c]:
+                    out.append(int(t))
+                    self.stats["emitted"] += 1
+                    if (not ignore_eos and int(t) == eos_id) or len(out) >= n_predict:
+                        stop = True
+                        break
+                if stop:
+                    break
+            if stop:
+                break
         out = out[:n_predict]
         self.n_past = plen + max(len(out) - 1, 0)
         return out

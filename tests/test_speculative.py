@@ -112,3 +112,96 @@ def test_spec_rejection_scheme_is_unbiased():
     emitted = np.where(accept, d, rng.choice(V, N, p=resid))
     emp = np.bincount(emitted, minlength=V) / N
     assert np.abs(emp - pt).sum() < 0.01  # total variation ~ noise floor
+
+
+# --- prompt-lookup (draft-model-free) speculation ---------------------------
+
+def _lookup_twin(prompt, plain_out, gamma, rounds_per_block, n_predict):
+    """NumPy twin of LookupEngine's round loop: greedy equivalence means
+    every on-path verify output equals the plain greedy stream, so per-round
+    acceptance counts are predictable from the stream + the match rule."""
+    S = list(prompt) + list(plain_out)  # S[p] = token consumed at position p
+    plen = len(prompt)
+    n_past = plen
+    out = [plain_out[0]]
+    rounds = accepted = 0
+    while len(out) < n_predict:
+        for _ in range(rounds_per_block):
+            tok = S[n_past]
+            prev = S[n_past - 1]
+            p = -1
+            for q in range(1, n_past - gamma + 1):
+                if S[q] == tok and S[q - 1] == prev:
+                    p = q
+            draft = S[p + 1 : p + gamma] if p >= 0 else [-1] * (gamma - 1)
+            k = gamma - 1
+            for j in range(gamma - 1):
+                if draft[j] != S[n_past + j + 1]:
+                    k = j
+                    break
+            count = k + 1
+            rounds += 1
+            accepted += count - 1
+            stop = False
+            for j in range(count):
+                out.append(S[n_past + j + 1])
+                if len(out) >= n_predict:
+                    stop = True
+                    break
+            n_past += count
+            if stop:
+                break
+        if len(out) >= n_predict:
+            break
+    return out[:n_predict], rounds, accepted
+
+
+def test_lookup_equals_plain_greedy(models):
+    from llamavk_tpu.runtime.speculative import LookupEngine
+
+    cfg_t, params_t, _, _ = models
+    # repetitive prompt: gives the 2-gram matcher something to find
+    prompt = [5, 9, 2, 30, 5, 9, 2, 30, 5, 9]
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=128)).generate(
+        prompt, 20, GREEDY, ignore_eos=True
+    )
+    eng = LookupEngine(
+        cfg_t, params_t, SpecConfig(n_ctx=128, gamma=4, rounds_per_block=4)
+    )
+    got = eng.generate(prompt, 20, ignore_eos=True)
+    assert got == want
+    # the twin predicts the exact acceptance accounting
+    _, rounds, accepted = _lookup_twin(prompt, want, 4, 4, 20)
+    assert eng.stats["rounds"] == rounds
+    assert eng.stats["accepted"] == accepted
+
+
+def test_lookup_equals_plain_greedy_generic_prompt(models):
+    from llamavk_tpu.runtime.speculative import LookupEngine
+
+    cfg_t, params_t, _, _ = models
+    prompt = [7, 3, 11]
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=128)).generate(
+        prompt, 16, GREEDY, ignore_eos=True
+    )
+    eng = LookupEngine(
+        cfg_t, params_t, SpecConfig(n_ctx=128, gamma=3, rounds_per_block=4)
+    )
+    got = eng.generate(prompt, 16, ignore_eos=True)
+    assert got == want
+    _, rounds, accepted = _lookup_twin(prompt, want, 3, 4, 16)
+    assert eng.stats["rounds"] == rounds
+    assert eng.stats["accepted"] == accepted
+
+
+def test_lookup_gamma_one_degenerates(models):
+    from llamavk_tpu.runtime.speculative import LookupEngine
+
+    cfg_t, params_t, _, _ = models
+    want = Engine(cfg_t, params_t, EngineConfig(n_ctx=64)).generate(
+        [4, 8, 15], 8, GREEDY, ignore_eos=True
+    )
+    eng = LookupEngine(
+        cfg_t, params_t, SpecConfig(n_ctx=64, gamma=1, rounds_per_block=4)
+    )
+    assert eng.generate([4, 8, 15], 8, ignore_eos=True) == want
