@@ -3,7 +3,7 @@
 
 Round-trips every 2-D weight tensor of an f16/f32 model through the Q4_0 or
 Q4_1 codec and reports per-layer and total RMSE, max error, and the error
-quantiles, with include/exclude layer patterns. This is the
+quantiles, with regex include/exclude layer filters. This is the
 reference-vs-optimized parity harness: it validates the vectorized NumPy
 codec (and, with --device, the on-device dequant path) against the scalar
 definition of the format.
@@ -12,7 +12,7 @@ definition of the format.
 from __future__ import annotations
 
 import argparse
-import fnmatch
+import re
 import sys
 
 import numpy as np
@@ -53,9 +53,11 @@ def run_stats(
     for name, t in r.tensors.items():
         if len(t.ne) != 2 or not name.endswith("weight"):
             continue
-        if include and not any(fnmatch.fnmatch(name, p) for p in include):
+        # regex search, matching the reference's layer_included
+        # (quantize-stats.cpp:70-80: exclude wins, include defaults all)
+        if exclude and any(re.search(p, name) for p in exclude):
             continue
-        if exclude and any(fnmatch.fnmatch(name, p) for p in exclude):
+        if include and not any(re.search(p, name) for p in include):
             continue
         x = r.load_f32(name)
         if ftype == GGML_FTYPE_Q4_0:

@@ -61,6 +61,15 @@ def test_quantize_stats(f32_model, capsys):
     # device packed layout must round-trip identically to the codec
     res_dev = run_stats(f32_model, GGML_FTYPE_Q4_0, per_layer=False, device=True)
     assert res_dev["__total__"]["rmse"] == pytest.approx(tot["rmse"], abs=1e-7)
+    # include/exclude are REGEX (searched, not globbed) like the reference's
+    # layer_included (quantize-stats.cpp:70-80); exclude wins over include
+    res_inc = run_stats(f32_model, GGML_FTYPE_Q4_0, include=[r"attention.*wq"])
+    assert res_inc and all("wq" in k for k in res_inc if k != "__total__")
+    res_exc = run_stats(
+        f32_model, GGML_FTYPE_Q4_0,
+        include=[r"attention"], exclude=[r"wq\.weight$"],
+    )
+    assert all("wq" not in k for k in res_exc)
 
 
 def test_perplexity_runs(f32_model):
