@@ -110,6 +110,112 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def quantize_act_blocks(xf: jax.Array):
+    """Per-32-block symmetric int8 activation quantization (the TPU analog of
+    the reference's INIT-phase activation quantization feeding
+    ggml_vec_dot_q4_0, ggml.c:1817 + ggml.c:6510-6684 — which uses int8
+    activations against int4 weights exactly like this).
+
+    xf [B, K] -> xq [QK, G, B] int8, sx [G, B] f32 with
+    x[b, g*QK + m] ~= xq[m, g, b] * sx[g, b]. The [QK, G, B] layout lines the
+    contraction axis up with the kernel's [2M, G, BN] nibble planes so the
+    batched int8 dot needs no in-kernel transpose."""
+    b, k = xf.shape
+    g = k // QK
+    xb = xf.astype(jnp.float32).reshape(b, g, QK)
+    amax = jnp.max(jnp.abs(xb), axis=-1)  # [B, G]
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xb / sx[..., None]), -127, 127).astype(jnp.int8)
+    return xq.transpose(2, 1, 0), sx.T
+
+
+def _kernel_q4_i8(xq_ref, sx_ref, p_ref, s_ref, o_ref):
+    """int8-MXU fused dequant+matmul (ilv layout, Q4_0 only).
+
+    Per-weight VPU work is ONLY nibble extraction (int8 in, int8 out); the
+    multiply-accumulate runs int8 x int8 -> int32 on the MXU as one
+    dot_general batched over quantization groups, and both scale sets fold
+    in AFTER the dot:  y[b,n] = sum_g sx[g,b] * s[g,n] * D[g,b,n]."""
+    half, bn = p_ref.shape
+    g = s_ref.shape[0]
+    m = half // g  # QK // 2
+    p = p_ref[:].astype(jnp.int32).reshape(m, g, bn)
+    lo = ((p << 28) >> 28).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    w = jnp.concatenate([lo, hi], axis=0)  # [2M, G, BN] int8 nibble values
+    xq = xq_ref[:]  # [2M, G, BB] int8
+    d = jax.lax.dot_general(
+        xq, w, (((0,), (0,)), ((1,), (1,))), preferred_element_type=jnp.int32
+    )  # [G, BB, BN] int32
+    sx = sx_ref[:].astype(jnp.float32)  # [G, BB]
+    s = s_ref[:].astype(jnp.float32)  # [G, BN]
+    o_ref[:] = (
+        (d.astype(jnp.float32) * sx[:, :, None] * s[:, None, :])
+        .sum(axis=0)
+        .astype(o_ref.dtype)
+    )
+
+
+def _kernel_q4_i8_stacked(idx_ref, xq_ref, sx_ref, p_ref, s_ref, o_ref):
+    del idx_ref
+    _kernel_q4_i8(xq_ref, sx_ref, p_ref.at[0], s_ref.at[0], o_ref.at[0])
+
+
+def _chunk_matmul_i8(xq, sx, packed, scales, layer_idx, c: int, bn: int):
+    """One packed chunk on the int8-MXU path. xq [2M, Gc, BP] int8 and
+    sx [Gc, BP] f32 are this chunk's pre-quantized activations; the batch is
+    NOT tiled (the path is decode-only, BP <= _I8_MAX_B). layer_idx None =
+    flat [K/2, N] weights; else stacked [L, K/2, N] selected by prefetch."""
+    mm, gc, bp = xq.shape
+    half = mm // 2 * gc
+    npad = packed.shape[-1]
+    grid = (npad // bn,)
+    cost = pl.CostEstimate(
+        flops=2 * bp * (mm * gc) * npad,
+        bytes_accessed=half * npad + 4 * gc * npad + mm * gc * bp + 4 * bp * npad,
+        transcendentals=0,
+    )
+    if layer_idx is None:
+        return pl.pallas_call(
+            _kernel_q4_i8,
+            grid=grid,
+            out_shape=jax.ShapeDtypeStruct((bp, npad), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((mm, gc, bp), lambda j: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gc, bp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((half, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gc, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bp, bn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=cost,
+            interpret=interpret_mode(),
+        )(xq, sx, packed, scales)
+    return pl.pallas_call(
+        _kernel_q4_i8_stacked,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((mm, gc, bp), lambda j, idx: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gc, bp), lambda j, idx: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, half, bn), lambda j, idx: (idx[0], c, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gc, bn), lambda j, idx: (idx[0], c, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bp, bn), lambda j, idx: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, bp, npad), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret_mode(),
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xq, sx, packed, scales)[0]
+
+
 def _kernel_q4_stacked(idx_ref, x_ref, p_ref, s_ref, o_ref, *, layout, mul_dtype):
     """Stacked-weight kernel body: weight/output refs carry a leading
     singleton layer dim (the index_map already selected layer idx_ref[0]);
@@ -211,9 +317,73 @@ _ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "512"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
 )
+# bf16 = VPU dequant + bf16 MXU dot; i8 = int8 activation quant + int8 MXU
+# dot with post-dot scale fold (decode batches only, see _I8_MAX_B)
 _ENV_DOT = os.environ.get("LLAMAVK_Q4_DOT", "bf16")
 # scoped-VMEM budget per kernel instance (v5e exposes ~16 MB; leave headroom)
 _VMEM_BUDGET = 10 * 1024 * 1024
+# int8 path: batch cap — the [G, B, BN] int32 group-dot accumulator lives in
+# VMEM, so the path is for decode-shaped batches; prefill keeps bf16
+_I8_MAX_B = 64
+
+
+def _fit_bn_i8(bn: int, half: int, gc: int, bp: int) -> int:
+    """Shrink the N tile until the int8 kernel's VMEM working set fits."""
+    def need(bn_):
+        packed = half * bn_
+        w = 2 * half * bn_  # unpacked nibble planes, int8
+        d = gc * bp * bn_ * 4  # group-dot accumulator, int32
+        s = gc * bn_ * 4
+        out = bp * bn_ * 4
+        return packed + w + d + s + out
+
+    while bn > 128 and need(bn) > _VMEM_BUDGET:
+        bn //= 2
+    return bn
+
+
+def _q4_matmul_i8(xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead):
+    """int8-MXU decode path: quantize activations per 32-block, run the
+    batched int8 group dot, fold both scale sets after."""
+    b = xf.shape[0]
+    kc = k // chunks
+    gc = g // chunks
+    half = kc // 2
+    bp = _round_up(max(b, 8), 8)
+    if bp != b:
+        xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
+    xq, sx = quantize_act_blocks(xf)  # [QK, G, BP] int8, [G, BP] f32
+
+    bn = _fit_bn_i8(min(_ENV_BN, _round_up(n, 128)), half, gc, bp)
+    bn_div = bn
+    while bn_div >= 128 and (n % bn_div or bn_div % 128):
+        bn_div -= 128
+    npad = n
+    packed, scales = qw.packed, qw.scales
+    if bn_div >= 128:
+        bn = bn_div
+    elif stacked:
+        return None  # cannot pad a stacked weight per-call; caller falls back
+    else:
+        npad = _round_up(n, bn)
+        packed = jnp.pad(packed, ((0, 0), (0, npad - n)))
+        scales = jnp.pad(scales, ((0, 0), (0, npad - n)))
+
+    y = None
+    for c in range(chunks):
+        xq_c = xq[:, c * gc : (c + 1) * gc, :]
+        sx_c = sx[c * gc : (c + 1) * gc, :]
+        if stacked:
+            yc = _chunk_matmul_i8(xq_c, sx_c, packed, scales, layer_idx, c, bn)
+        else:
+            yc = _chunk_matmul_i8(
+                xq_c, sx_c,
+                packed[c * half : (c + 1) * half],
+                scales[c * gc : (c + 1) * gc],
+                None, c, bn,
+            )
+        y = yc if y is None else y + yc
+    return y[:b, :n].astype(out_dtype).reshape(*lead, n)
 
 
 def _fit_bn(bn: int, kc: int, g: int, bb: int) -> int:
@@ -233,7 +403,8 @@ def _fit_bn(bn: int, kc: int, g: int, bb: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "block_n", "block_b", "use_ref", "mul_dtype"),
+    static_argnames=("out_dtype", "block_n", "block_b", "use_ref", "mul_dtype",
+                     "dot_mode"),
 )
 def q4_matmul(
     x: jax.Array,
@@ -243,6 +414,7 @@ def q4_matmul(
     block_b: int | None = None,
     use_ref: bool = False,
     mul_dtype=None,
+    dot_mode: str | None = None,
     layer_idx: jax.Array | None = None,
 ) -> jax.Array:
     """y = x @ W for a packed QWeight. x: [..., K] (any leading dims).
@@ -277,6 +449,26 @@ def q4_matmul(
     for d in lead:
         b *= d
     xf = x.reshape(b, k).astype(jnp.bfloat16)
+
+    if (
+        (dot_mode or _ENV_DOT) == "i8"
+        and qw.bias is None
+        and qw.layout == LAYOUT_ILV
+        and b <= _I8_MAX_B
+    ):
+        y = _q4_matmul_i8(
+            xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead
+        )
+        if y is not None:
+            return y
+        if stacked:
+            # un-tileable N on the stacked path: slice the layer out and fall
+            # through to the flat bf16 path
+            qw = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, False),
+                qw,
+            )
+            stacked = False
 
     if stacked:
         # the stacked path tiles N without padding; need a lane-aligned tile

@@ -127,3 +127,52 @@ def test_q4_matmul_chunked(chunks):
     np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd, rtol=2e-2, atol=2e-2)
     # dequant path must be exact
     np.testing.assert_allclose(np.asarray(dequantize_qweight(qw)), wd, atol=1e-6)
+
+
+@pytest.mark.parametrize("b,k,n", [(1, 128, 256), (8, 256, 384), (16, 192, 128)])
+def test_q4_matmul_i8_vs_ref(b, k, n):
+    """int8-MXU path: per-block activation quantization adds ~1/127-relative
+    error on top of Q4 noise — well inside bf16-path tolerance."""
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
+    y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i8"))
+    y_np = np.asarray(x, np.float32) @ wd
+    np.testing.assert_allclose(y, y_np, rtol=3e-2, atol=3e-2)
+
+
+def test_q4_matmul_i8_stacked_layer_select():
+    L, k, n = 3, 128, 256
+    qws, wds = [], []
+    for l in range(L):
+        qw, wd = _make_qw(k, n, LAYOUT_ILV, seed=l)
+        qws.append(qw)
+        wds.append(wd)
+    import jax as _jax
+    stacked = _jax.tree.map(lambda *a: jnp.stack(a), *qws)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    for l in range(L):
+        y = np.asarray(
+            q4_matmul(
+                x, stacked, out_dtype=jnp.float32, dot_mode="i8",
+                layer_idx=jnp.int32(l),
+            )
+        )
+        y_np = np.asarray(x, np.float32) @ wds[l]
+        np.testing.assert_allclose(y, y_np, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("chunks", [2])
+def test_q4_matmul_i8_chunked(chunks):
+    k, n = 256, 128
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    d, q = quantize_q4_0(w)
+    qw = qweight_from_packed(repack_q4_0(d, q, chunks=chunks), scale_dtype=jnp.float32)
+    assert qw.chunks == chunks
+    x = jnp.asarray(rng.standard_normal((5, k)), jnp.bfloat16)
+    wd = ((q.astype(np.float32) - 8) * d[..., None]).reshape(n, k).T
+    y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i8"))
+    y_np = np.asarray(x, np.float32) @ wd
+    np.testing.assert_allclose(y, y_np, rtol=3e-2, atol=3e-2)
