@@ -62,6 +62,10 @@ class BatchConfig:
     kv_dtype: str = "bfloat16"
     admit_chunk: int = 4  # max requests per batched admission prefill
     # (chunks are power-of-two sized: bounded set of compiled variants)
+    lookup_gamma: int = 0  # >0: prompt-lookup speculative decode (greedy
+    # only — every request must run temp=0, repeat_penalty=1). Each decode
+    # round verifies up to lookup_gamma tokens drafted from the row's own
+    # context, at ~the cost of one plain step (see runtime/speculative.py).
 
 
 class BatchedEngine:
@@ -145,6 +149,78 @@ class BatchedEngine:
                 body, state, None, length=n_steps
             )
             return out.T, cache, last, keys  # out: [B, n_steps]
+
+        @partial(
+            jax.jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1,)
+        )
+        def _decode_lookup(params, cache, toks0, ctx, n_past, n_steps, gamma):
+            # batched prompt-lookup speculation (greedy): per row, draft the
+            # continuation of the most recent (prev, tok) 2-gram occurrence
+            # in that row's context, verify all gamma positions in one
+            # multi-token forward (vector n_past), accept the agreeing
+            # prefix. See runtime/speculative.py::make_lookup_decode_block.
+            s_ctx = ctx.shape[1]
+            idx = jnp.arange(s_ctx, dtype=jnp.int32)[None]  # [1, S]
+
+            def body(state, _):
+                toks, cache, ctx, n_past = state
+                prev = jnp.take_along_axis(
+                    ctx, jnp.maximum(n_past - 1, 0)[:, None], 1
+                )[:, 0]
+                shifted = jnp.roll(ctx, 1, axis=1)
+                match = (
+                    (idx >= 1)
+                    & (idx <= (n_past - gamma)[:, None])
+                    & (ctx == toks[:, None])
+                    & (shifted == prev[:, None])
+                )
+                p = jnp.max(jnp.where(match, idx, -1), axis=1)  # [B]
+                draft = jax.vmap(
+                    lambda c, pp: jax.lax.dynamic_slice(
+                        c, (jnp.maximum(pp, 0) + 1,), (gamma - 1,)
+                    )
+                )(ctx, p)
+                draft = jnp.where((p >= 0)[:, None], draft, jnp.int32(-1))
+                seq = jnp.concatenate([toks[:, None], draft], axis=1)
+                logits, cache, _ = llama_forward(
+                    params, seq, cache, n_past, cfg_, logits_all=True
+                )
+                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
+                agree = draft == y[:, : gamma - 1]
+                k = jnp.argmin(
+                    jnp.concatenate(
+                        [agree, jnp.zeros((agree.shape[0], 1), bool)], axis=1
+                    ),
+                    axis=1,
+                ).astype(jnp.int32)
+                draft_pad = jnp.concatenate(
+                    [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1
+                )
+                corr = jnp.take_along_axis(
+                    y, jnp.minimum(k, gamma - 1)[:, None], 1
+                )  # [B, 1]
+                emitted = jnp.where(jnp.arange(gamma)[None] < k[:, None],
+                                    draft_pad, corr)
+                count = k + 1
+                ctx = jax.vmap(
+                    lambda c, s, np_: jax.lax.dynamic_update_slice(c, s, (np_,))
+                )(ctx, seq, n_past)
+                return (corr[:, 0], cache, ctx, n_past + count), (emitted, count)
+
+            state = (toks0, cache, ctx, n_past)
+            (toks, cache, ctx, n_past), (em, cnt) = jax.lax.scan(
+                body, state, None, length=n_steps
+            )
+            return em, cnt, toks, cache, ctx, n_past
+
+        @jax.jit
+        def _ctx_write(ctx, row, slot):
+            return jax.lax.dynamic_update_slice(ctx, row[None], (slot, 0))
+
+        self._decode_lookup = _decode_lookup
+        self._ctx_write = _ctx_write
+        if bcfg.lookup_gamma > 0:
+            self.ctx_dev = jnp.zeros((b, bcfg.n_ctx), jnp.int32)
 
         bcfg_ = self.bcfg
 
@@ -234,7 +310,17 @@ class BatchedEngine:
                on_token: Callable[[int], None] | None = None,
                prefix: int = -1) -> Request:
         total = len(prompt) + (self.prefixes[prefix][1] if prefix >= 0 else 0)
-        assert total + n_predict <= self.bcfg.n_ctx, "request exceeds n_ctx"
+        g = self.bcfg.lookup_gamma
+        if g > 0:
+            # lookup speculation is greedy-equivalence only (temp=0 decoding
+            # is pure argmax — sampling.py skips the penalty there), and the
+            # per-round gamma-window writes need gamma-1 rows of slack
+            assert sp.temp == 0.0, "lookup_gamma requires greedy requests"
+            assert total + n_predict + g - 1 <= self.bcfg.n_ctx, (
+                "request exceeds n_ctx (lookup needs gamma-1 rows of slack)"
+            )
+        else:
+            assert total + n_predict <= self.bcfg.n_ctx, "request exceeds n_ctx"
         assert len(prompt) >= 1, "prompt suffix must be non-empty"
         req = Request(prompt=list(prompt), n_predict=n_predict, sp=sp, seed=seed,
                       ignore_eos=ignore_eos, rid=self._rid, on_token=on_token,
@@ -351,6 +437,17 @@ class BatchedEngine:
                 self.last_window[slot] = np.roll(self.last_window[slot], -1)
                 self.last_window[slot, -1] = tok
 
+        if self.bcfg.lookup_gamma > 0:
+            # seed the device-side context rows the lookup matcher reads
+            for req in admitted:
+                pfx_tokens = self.prefixes[req.prefix][2] if req.prefix >= 0 else []
+                row = np.zeros(self.bcfg.n_ctx, np.int32)
+                hist = (pfx_tokens + req.prompt)[: self.bcfg.n_ctx]
+                row[: len(hist)] = hist
+                self.ctx_dev = self._ctx_write(
+                    self.ctx_dev, jnp.asarray(row), jnp.int32(req.slot)
+                )
+
     def _emit(self, req: Request, tok: int) -> None:
         req.generated.append(tok)
         if req.on_token is not None:
@@ -374,6 +471,9 @@ class BatchedEngine:
         # mid-block frees its slot; its extra KV writes sit beyond the slot's
         # n_past and are never attended.
         room = self.bcfg.n_ctx - 1 - int(self.n_past.max())
+        g = self.bcfg.lookup_gamma
+        if g > 0:
+            return self._step_lookup(room, g)
         n_steps = min(self.bcfg.block, max(1, room))
         n_steps = 1 << (n_steps.bit_length() - 1)  # snap down to a power of 2
         t0 = time.perf_counter()
@@ -410,6 +510,55 @@ class BatchedEngine:
                     break
             self.n_past[slot] += consumed
             self.cur_tok[slot] = toks[slot][consumed - 1]
+            if req.done:
+                finished.append(req)
+                self.slots[slot] = None
+                self.n_past[slot] = 0
+        return finished
+
+    def _step_lookup(self, room: int, g: int) -> list[Request]:
+        """One lookup-speculative decode block: n_steps rounds, each emitting
+        1..g tokens per row. The submit-time slack guarantee keeps every
+        round's g-row write window inside the slot region."""
+        n_steps = min(self.bcfg.block, max(1, room // g))
+        n_steps = 1 << (n_steps.bit_length() - 1)
+        t0 = time.perf_counter()
+        em, cnt, toks, self.cache, self.ctx_dev, npast_dev = self._decode_lookup(
+            self.params,
+            self.cache,
+            jnp.asarray(self.cur_tok),
+            self.ctx_dev,
+            jnp.asarray(self.n_past),
+            n_steps,
+            g,
+        )
+        em = np.asarray(em)  # [n_steps, B, g]
+        cnt = np.asarray(cnt)  # [n_steps, B]
+        toks_h = np.asarray(toks)
+        npast_h = np.asarray(npast_dev)
+        self.stats["t_decode"] += time.perf_counter() - t0
+        self.stats["steps"] += n_steps
+
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            for i in range(n_steps):
+                if req.done:
+                    break  # junk rounds past `done` count toward nothing
+                c = int(cnt[i, slot])
+                self.stats["rounds"] = self.stats.get("rounds", 0) + 1
+                self.stats["accepted"] = self.stats.get("accepted", 0) + (c - 1)
+                for t in em[i, slot, :c]:
+                    if req.done:
+                        break
+                    self._emit(req, int(t))
+                    self.stats["tokens"] += 1
+            # the device consumed ALL n_steps rounds; mirror its n_past and
+            # pending token exactly (junk rounds past `done` only wrote rows
+            # the next occupant's admission will overwrite)
+            self.n_past[slot] = npast_h[slot]
+            self.cur_tok[slot] = toks_h[slot]
             if req.done:
                 finished.append(req)
                 self.slots[slot] = None

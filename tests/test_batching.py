@@ -107,3 +107,57 @@ def test_prefix_and_plain_mix(model):
     be.run()
     # same effective prompt -> same greedy continuation
     assert r1.generated == r2.generated
+
+
+def test_lookup_batched_matches_single(model):
+    """lookup_gamma: batched prompt-lookup speculation must emit exactly the
+    plain greedy streams, for repetitive AND generic prompts, across
+    admission waves (more requests than slots)."""
+    cfg, params, _ = model
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=2, n_ctx=128, block=4, lookup_gamma=4),
+    )
+    prompts = [
+        [5, 9, 2, 30, 5, 9, 2, 30, 5, 9],  # repetitive: drafts will match
+        [7, 3, 11],
+        [1, 2, 3, 4, 1, 2, 3, 4],
+        [42],
+    ]
+    reqs = [be.submit(p, 8, GREEDY, ignore_eos=True) for p in prompts]
+    done = be.run()
+    assert len(done) == 4
+    for p, r in zip(prompts, reqs):
+        want = _single_stream(cfg, params, p, 8, n_ctx=128)
+        assert r.generated == want, (p, r.generated, want)
+    assert be.stats["rounds"] > 0
+    # first tokens are emitted at admission (not counted in decode stats)
+    assert be.stats["tokens"] == 4 * 8 - 4
+
+
+def test_lookup_batched_with_prefix_cache(model):
+    cfg, params, _ = model
+    pfx = [3, 1, 4, 1, 5, 9, 2, 6]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=2, n_ctx=128, block=4, lookup_gamma=3),
+    )
+    pid = be.register_prefix(pfx)
+    reqs = [
+        be.submit([8, 2], 6, GREEDY, ignore_eos=True, prefix=pid),
+        be.submit([7], 6, GREEDY, ignore_eos=True, prefix=pid),
+    ]
+    done = be.run()
+    assert len(done) == 2
+    for r, sfx in zip(reqs, [[8, 2], [7]]):
+        want = _single_stream(cfg, params, pfx + sfx, 6, n_ctx=128)
+        assert r.generated == want
+
+
+def test_lookup_rejects_sampled_requests(model):
+    cfg, params, _ = model
+    be = BatchedEngine(
+        cfg, params, BatchConfig(max_batch=2, n_ctx=64, lookup_gamma=4)
+    )
+    with pytest.raises(AssertionError):
+        be.submit([1, 2], 4, SamplerParams(temp=0.8))

@@ -198,3 +198,39 @@ def test_pp_decode_steps(tiny_path):
     want2, _, _ = llama_forward(params1, nxt, cache1, jnp.int32(2), cfg)
     got2, _, _ = fwd(params_pp, nxt, cache_pp, jnp.int32(2))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=5e-2, atol=6e-2)
+
+
+def test_pp_gpipe_wave_count(tiny_path):
+    """Schedule-structure evidence for the GPipe interleave's M/(M+P-1)
+    utilization claim: the serial unit of the pp step is the WAVE (one
+    all-stage layer sweep ending in a ring ppermute). M=1 runs P waves for
+    ONE microbatch of work; M=mb runs M+P-1 waves for M microbatches —
+    useful-work fraction M/(M+P-1). Count the collective-permutes in the
+    lowered program to pin the wave count."""
+    from llamavk_tpu.parallel import (
+        make_mesh, make_sharded_forward, shard_cache, shard_params,
+    )
+
+    reader = CheckpointReader(tiny_path)
+    cfg, params_pp = params_from_reader(reader, scale_dtype=jnp.float32)
+    pp = 2
+    if cfg.n_layer % pp != 0:
+        pytest.skip("pp does not divide n_layer")
+    mesh = make_mesh(tp=1, dp=1, pp=pp, devices=jax.devices()[:pp])
+    params_pp = shard_params(params_pp, mesh)
+
+    def waves(mb: int) -> int:
+        b = max(mb, 1)
+        cache = shard_cache(init_kv_cache(cfg, b, 8), mesh)
+        fwd = make_sharded_forward(cfg, params_pp, mesh, pp_microbatch=mb)
+        tokens = jnp.ones((b, 4), jnp.int32)
+        txt = jax.jit(fwd).lower(
+            params_pp, tokens, cache, jnp.int32(0)
+        ).as_text()
+        return txt.count('"collective_permute"') or txt.count(
+            "collective-permute"
+        )
+
+    assert waves(1) == pp  # ring: P hops per single activation
+    for mb in (2, 4):
+        assert waves(mb) == mb + pp - 1  # GPipe: M+P-1 waves for M batches
