@@ -639,7 +639,9 @@ def llama_forward(
                     outs = outs.at[out_idx].set(
                         jnp.where(stage == pp_size - 1, cur, outs[out_idx])
                     )
-                cur = jax.lax.ppermute(cur, pp_axis, perm)
+                if tau < M + pp_size - 2:
+                    # the final wave's hop would be dead (nothing consumes it)
+                    cur = jax.lax.ppermute(cur, pp_axis, perm)
             # only the last stage deposited real rows; broadcast via psum
             x = jax.lax.psum(outs, pp_axis).reshape(b, t, kdim)
 

@@ -219,7 +219,7 @@ def test_pp_gpipe_wave_count(tiny_path):
     mesh = make_mesh(tp=1, dp=1, pp=pp, devices=jax.devices()[:pp])
     params_pp = shard_params(params_pp, mesh)
 
-    def waves(mb: int) -> int:
+    def hops(mb: int) -> int:
         b = max(mb, 1)
         cache = shard_cache(init_kv_cache(cfg, b, 8), mesh)
         fwd = make_sharded_forward(cfg, params_pp, mesh, pp_microbatch=mb)
@@ -227,10 +227,13 @@ def test_pp_gpipe_wave_count(tiny_path):
         txt = jax.jit(fwd).lower(
             params_pp, tokens, cache, jnp.int32(0)
         ).as_text()
-        return txt.count('"collective_permute"') or txt.count(
-            "collective-permute"
-        )
+        return txt.count("collective_permute")
 
-    assert waves(1) == pp  # ring: P hops per single activation
+    # ring (M=1): P hops move ONE activation through all stages — the
+    # utilization of the step is 1/P per activation
+    assert hops(1) == pp
+    # GPipe: M+P-1 waves (the final wave's hop is elided as dead), each wave
+    # a full all-stage layer sweep — M microbatches of useful work in M+P-1
+    # serial waves = M/(M+P-1) utilization
     for mb in (2, 4):
-        assert waves(mb) == mb + pp - 1  # GPipe: M+P-1 waves for M batches
+        assert hops(mb) == mb + pp - 2
