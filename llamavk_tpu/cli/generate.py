@@ -191,10 +191,11 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     ctxman = ContextManager(engine, args.ctx_size, min(n_keep, args.ctx_size // 2))
 
     if getattr(args, "draft_lookup", False):
-        if args.temp > 0 or args.interactive or ring:
+        sampled_ok = args.temp <= 0 or args.repeat_penalty == 1.0
+        if args.interactive or ring or not sampled_ok:
             print(
-                "warning: --draft-lookup requires --temp 0, non-interactive, "
-                "non-ring; ignoring",
+                "warning: --draft-lookup requires non-interactive, non-ring, "
+                "and repeat-penalty 1.0 when sampling; ignoring",
                 file=sys.stderr,
             )
         else:
@@ -206,7 +207,9 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
                            kv_dtype=getattr(args, "kv_dtype", "bfloat16")),
             )
             out = spec.generate(
-                prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos
+                prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos,
+                sp=sp if args.temp > 0 else None,
+                seed=args.seed if args.seed >= 0 else 0,
             )
             text = b"".join(tok.decode_token(t) for t in out)
             stdout.write(text.decode("utf-8", errors="replace"))

@@ -181,6 +181,86 @@ def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
     return lookup_block
 
 
+def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
+                             sp: SamplerParams):
+    """Sampled prompt-lookup speculation. The draft is DETERMINISTIC (a point
+    mass at the context continuation), so rejection sampling collapses:
+    accept d_i with probability p_t(d_i); on rejection sample from p_t with
+    d_i zeroed out, renormalized (= the residual distribution). Emitted
+    tokens are therefore distributed EXACTLY as target-only sampling from
+    the transformed (temp/top-k/top-p) distribution — see
+    tests/test_speculative.py::test_lookup_sampling_is_unbiased.
+
+    repeat_penalty is not folded in (callers assert it off): its window
+    would have to evolve inside the round."""
+
+    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3,))
+    def lookup_sample_block(params_t, tok0, ctx, cache_t, n_past, key,
+                            n_rounds):
+        idx = jnp.arange(n_ctx, dtype=jnp.int32)
+
+        def round_body(state, _):
+            tok, ctx, cache_t, n_past, key = state
+            prev = ctx[jnp.maximum(n_past - 1, 0)]
+            shifted = jnp.roll(ctx, 1)
+            match = (
+                (idx >= 1)
+                & (idx <= n_past - gamma)
+                & (ctx == tok)
+                & (shifted == prev)
+            )
+            p = jnp.max(jnp.where(match, idx, -1))
+            draft = jax.lax.dynamic_slice(
+                ctx, (jnp.maximum(p, 0) + 1,), (gamma - 1,)
+            )
+            draft = jnp.where(p >= 0, draft, jnp.int32(-1))
+
+            seq = jnp.concatenate([tok.reshape(1), draft])
+            lg, cache_t, _ = llama_forward(
+                params_t, seq[None], cache_t, n_past, cfg_t, logits_all=True
+            )
+            pt_all = jax.vmap(
+                lambda l: probs_from_logits(l, sp.top_k, sp.top_p, sp.temp)
+            )(lg[0])  # [gamma, V]
+
+            ids = jnp.arange(gamma - 1)
+            key, ku, kc = jax.random.split(key, 3)
+            us = jax.random.uniform(ku, (max(gamma - 1, 1),))[: gamma - 1]
+            # deterministic proposal: accept with prob p_t(d_i); a -1 draft
+            # (no match) takes p_t = 0 -> certain rejection, plain step
+            safe = jnp.maximum(draft, 0)
+            acc = (us < pt_all[ids, safe]) & (draft >= 0)
+            k = jnp.argmin(
+                jnp.concatenate([acc, jnp.zeros(1, bool)])
+            ).astype(jnp.int32)  # first rejection; gamma-1 if none
+
+            # residual at the rejection point: p_t with the draft token
+            # removed (only when a real draft existed — a no-match round
+            # keeps plain p_t); bonus (k == gamma-1): plain p_t
+            pt_k = pt_all[k]
+            safe_pad = jnp.concatenate([safe, jnp.zeros(1, jnp.int32)])
+            rej_tok = safe_pad[jnp.minimum(k, gamma - 1)]
+            drop = (k < gamma - 1) & (p >= 0)
+            resid = pt_k.at[rej_tok].multiply(jnp.where(drop, 0.0, 1.0))
+            resid = resid / jnp.maximum(resid.sum(), 1e-30)
+            corr = jax.random.categorical(
+                kc, jnp.log(resid + 1e-30)
+            ).astype(jnp.int32)
+            draft_pad = jnp.concatenate([draft, jnp.zeros(1, jnp.int32)])
+            emitted = jnp.where(jnp.arange(gamma) < k, draft_pad, corr)
+            count = k + 1
+            ctx = jax.lax.dynamic_update_slice(ctx, seq, (n_past,))
+            return (corr, ctx, cache_t, n_past + count, key), (emitted, count)
+
+        state = (tok0, ctx, cache_t, n_past, key)
+        (tok, ctx, cache_t, n_past, key), (toks, counts) = jax.lax.scan(
+            round_body, state, None, length=n_rounds
+        )
+        return toks, counts, tok, ctx, cache_t, n_past, key
+
+    return lookup_sample_block
+
+
 def make_spec_sample_block(cfg_t, cfg_d, gamma, sp_t: SamplerParams,
                            sp_d: SamplerParams):
     """Sampled speculative decoding: standard rejection sampling over the
@@ -420,6 +500,7 @@ class LookupEngine:
         self.cfg, self.params = cfg, params
         self.scfg = scfg
         self._block = make_lookup_decode_block(cfg, scfg.gamma, scfg.n_ctx)
+        self._sample_blocks: dict = {}  # sp -> compiled sampled block
 
         @jax.jit
         def _prefill(params, tokens, cache, last_idx):
@@ -439,7 +520,17 @@ class LookupEngine:
         self.n_past = 0
 
     def generate(self, prompt_tokens: list[int], n_predict: int,
-                 eos_id: int = 2, ignore_eos: bool = False) -> list[int]:
+                 eos_id: int = 2, ignore_eos: bool = False,
+                 sp: SamplerParams | None = None, seed: int = 0) -> list[int]:
+        """sp=None or sp.temp <= 0: greedy (output equals plain greedy).
+        Otherwise sampled lookup speculation: emitted tokens are distributed
+        exactly as target-only sampling (deterministic-proposal rejection
+        scheme, see make_lookup_sample_block). repeat_penalty must be off."""
+        sampled = sp is not None and sp.temp > 0
+        if sampled:
+            assert sp.repeat_penalty == 1.0, (
+                "lookup sampling does not support repeat_penalty"
+            )
         self.reset()
         g = self.scfg.gamma
         headroom = self.scfg.rounds_per_block * g + g + 1
@@ -458,16 +549,34 @@ class LookupEngine:
         ctx = jnp.zeros(self.scfg.n_ctx, jnp.int32)
         ctx = jax.lax.dynamic_update_slice(ctx, toks[:plen], (0,))
 
-        tok = jnp.argmax(logits[0]).astype(jnp.int32)
+        key = jax.random.key(seed)
+        if sampled:
+            key, k0 = jax.random.split(key)
+            p0 = probs_from_logits(logits[0], sp.top_k, sp.top_p, sp.temp)
+            tok = jax.random.categorical(k0, jnp.log(p0 + 1e-30)).astype(jnp.int32)
+            if sp not in self._sample_blocks:
+                self._sample_blocks[sp] = make_lookup_sample_block(
+                    self.cfg, g, self.scfg.n_ctx, sp
+                )
+            block = self._sample_blocks[sp]
+        else:
+            tok = jnp.argmax(logits[0]).astype(jnp.int32)
+            block = None
         out = [int(tok)]
         if not ignore_eos and out[-1] == eos_id:
             return out
         npast_dev = jnp.int32(self.n_past)
         while len(out) < n_predict:
-            toks_r, counts, tok, ctx, self.cache, npast_dev = self._block(
-                self.params, tok, ctx, self.cache, npast_dev,
-                self.scfg.rounds_per_block,
-            )
+            if sampled:
+                toks_r, counts, tok, ctx, self.cache, npast_dev, key = block(
+                    self.params, tok, ctx, self.cache, npast_dev, key,
+                    self.scfg.rounds_per_block,
+                )
+            else:
+                toks_r, counts, tok, ctx, self.cache, npast_dev = self._block(
+                    self.params, tok, ctx, self.cache, npast_dev,
+                    self.scfg.rounds_per_block,
+                )
             toks_h = np.asarray(toks_r)
             counts_h = np.asarray(counts)
             stop = False

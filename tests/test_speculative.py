@@ -205,3 +205,41 @@ def test_lookup_gamma_one_degenerates(models):
         cfg_t, params_t, SpecConfig(n_ctx=64, gamma=1, rounds_per_block=4)
     )
     assert eng.generate([4, 8, 15], 8, ignore_eos=True) == want
+
+
+def test_lookup_sampling_is_unbiased():
+    """NumPy twin of the deterministic-proposal rejection scheme: accept the
+    draft d with prob p_t(d), else sample from p_t with d zeroed out — the
+    emitted token must be distributed exactly as p_t."""
+    rng = np.random.default_rng(0)
+    V = 16
+    pt = rng.dirichlet(np.ones(V) * 0.5)
+    d = 3  # deterministic draft token
+    N = 200_000
+    u = rng.uniform(size=N)
+    accept = u < pt[d]
+    resid = pt.copy()
+    resid[d] = 0.0
+    resid = resid / resid.sum()
+    emitted = np.where(accept, d, rng.choice(V, N, p=resid))
+    emp = np.bincount(emitted, minlength=V) / N
+    assert np.abs(emp - pt).sum() < 0.01
+
+
+def test_lookup_sampled_runs_and_is_seeded(models):
+    from llamavk_tpu.runtime.speculative import LookupEngine
+
+    cfg_t, params_t, _, _ = models
+    sp = SamplerParams(temp=0.9, top_k=40, top_p=0.95, repeat_penalty=1.0)
+    eng = LookupEngine(
+        cfg_t, params_t, SpecConfig(n_ctx=128, gamma=3, rounds_per_block=4)
+    )
+    out1 = eng.generate([5, 9, 2, 30, 5, 9, 2, 30], 12, ignore_eos=True,
+                        sp=sp, seed=7)
+    out2 = eng.generate([5, 9, 2, 30, 5, 9, 2, 30], 12, ignore_eos=True,
+                        sp=sp, seed=7)
+    assert out1 == out2  # seeded-deterministic
+    assert len(out1) == 12 and all(0 <= t < cfg_t.n_vocab for t in out1)
+    out3 = eng.generate([5, 9, 2, 30, 5, 9, 2, 30], 12, ignore_eos=True,
+                        sp=sp, seed=8)
+    assert out3 != out1  # different seed, different stream (overwhelmingly)

@@ -33,12 +33,59 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_lookup(args):
+    """Prompt-lookup speculation: no draft model, so the ONLY cost above a
+    plain decode step is the gamma-query verify + the [S]-wide match. With a
+    cyclic prompt the tiny-vocab greedy stream revisits its n-grams, so the
+    measured tokens/round exercises real accept paths; the headline number is
+    ms/round vs the plain step."""
+    from llamavk_tpu.runtime.speculative import LookupEngine
+
+    cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
+    log(f"building synthetic {args.model} ...")
+    params = synthetic_params(cfg, seed=0)
+    eng = LookupEngine(
+        cfg, params,
+        SpecConfig(n_ctx=args.n_ctx, gamma=args.gamma, rounds_per_block=8),
+    )
+    R = eng.scfg.rounds_per_block
+    eng.generate([1, 2, 3, 4] * 4, 2, ignore_eos=True)  # compile
+    best = float("inf")
+    for _ in range(3):
+        eng.stats = {"rounds": 0, "accepted": 0, "emitted": 0}
+        t0 = time.perf_counter()
+        out = eng.generate([1, 2, 3, 4] * 4, 8 * R * args.gamma, ignore_eos=True)
+        dt = time.perf_counter() - t0
+        if eng.stats["rounds"]:
+            best = min(best, dt / eng.stats["rounds"])
+    tpr = eng.stats["emitted"] / max(eng.stats["rounds"], 1)
+    log(
+        f"lookup gamma={args.gamma}: {best*1e3:.2f} ms/round, measured "
+        f"{tpr:.2f} tok/round -> {tpr/best:.1f} tok/s"
+    )
+    t_plain = 7.7e-3  # measured plain decode s/token (bench.py)
+    log(
+        f"vs plain {t_plain*1e3:.1f} ms/step: round overhead "
+        f"{(best/t_plain-1)*100:+.0f}% -> wins for ANY acceptance above "
+        f"{max(best/t_plain-1, 0)*100:.0f}% extra tokens/round"
+    )
+    print(
+        f'{{"metric": "lookup-speculative round cost {args.model} '
+        f'gamma={args.gamma}", "value": {best*1e3:.2f}, "unit": "ms/round"}}'
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--lookup", action="store_true",
+                    help="bench draft-model-free prompt-lookup speculation")
     args = ap.parse_args()
+    if args.lookup:
+        bench_lookup(args)
+        return
 
     cfg_t = ModelConfig(**LLAMA_CONFIGS[args.model])
     cfg_d = ModelConfig(**DRAFT_CFG)
