@@ -151,7 +151,7 @@ class BatchedEngine:
             return out.T, cache, last, keys  # out: [B, n_steps]
 
         @partial(
-            jax.jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1,)
+            jax.jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
         )
         def _decode_lookup(params, cache, toks0, ctx, n_past, n_steps, gamma):
             # batched prompt-lookup speculation (greedy): per row, draft the

@@ -126,7 +126,7 @@ def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
     where ctx is the [n_ctx] int32 device-side token history (rows < n_past
     valid)."""
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3,))
+    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_block(params_t, tok0, ctx, cache_t, n_past, n_rounds):
         idx = jnp.arange(n_ctx, dtype=jnp.int32)
 
@@ -194,7 +194,7 @@ def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
     repeat_penalty is not folded in (callers assert it off): its window
     would have to evolve inside the round."""
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3,))
+    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_sample_block(params_t, tok0, ctx, cache_t, n_past, key,
                             n_rounds):
         idx = jnp.arange(n_ctx, dtype=jnp.int32)
