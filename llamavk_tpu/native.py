@@ -33,6 +33,7 @@ _p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 _p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
 _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -69,6 +70,11 @@ def _declare(lib: ctypes.CDLL) -> None:
         _p_u8, _c_i64, _c_i64, _c_int,
         _p_i8, _p_f32, ctypes.c_void_p, _c_int,
     ]
+    lib.lvk_tokenizer_create.restype = ctypes.c_void_p
+    lib.lvk_tokenizer_create.argtypes = [_p_u8, _p_i64, _p_f32, _c_i64]
+    lib.lvk_tokenizer_free.argtypes = [ctypes.c_void_p]
+    lib.lvk_tokenize.restype = _c_i64
+    lib.lvk_tokenize.argtypes = [ctypes.c_void_p, _p_u8, _c_i64, _p_i32, _c_i64]
     lib.lvk_mmap_open.restype = ctypes.c_void_p
     lib.lvk_mmap_open.argtypes = [ctypes.c_char_p, ctypes.POINTER(_c_i64)]
     lib.lvk_mmap_close.argtypes = [ctypes.c_void_p, _c_i64]
@@ -212,3 +218,49 @@ def repack_q4_rows_stream(raw: np.ndarray, n_rows: int, row_elems: int, ftype: i
         bias.ctypes.data if is_q41 else None, 0,
     )
     return packed, scales, bias
+
+
+class NativeTokenizer:
+    """Handle to the C++ greedy bigram-merge tokenizer (bit-identical twin of
+    llamavk_tpu/tokenizer.py — tests/test_native.py cross-checks)."""
+
+    def __init__(self, lib: ctypes.CDLL, handle: int):
+        self._lib = lib
+        self._handle = handle
+
+    def encode(self, data: bytes) -> list[int] | None:
+        if not data:
+            return []
+        buf = np.frombuffer(data, np.uint8)
+        cap = len(data) + 8
+        out = np.empty(cap, np.int32)
+        m = self._lib.lvk_tokenize(
+            self._handle, buf, len(data), out, cap
+        )
+        if m < 0:
+            return None  # capacity overflow (cannot happen: <= 1 id/byte)
+        return out[:m].tolist()
+
+    def __del__(self):
+        try:
+            if self._handle:
+                self._lib.lvk_tokenizer_free(self._handle)
+        except Exception:
+            pass
+
+
+def make_tokenizer(texts: list[bytes], scores) -> "NativeTokenizer | None":
+    """Build a native tokenizer from vocab pieces + scores, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = b"".join(texts) or b"\x00"
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum([len(t) for t in texts], out=offsets[1:])
+    handle = lib.lvk_tokenizer_create(
+        np.frombuffer(blob, np.uint8), offsets,
+        np.ascontiguousarray(scores, np.float32), len(texts),
+    )
+    if not handle:
+        return None
+    return NativeTokenizer(lib, handle)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..models.llama import (
     KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward,
 )
-from .sampling import SamplerParams, sample_tokens_batched
+from .sampling import SamplerParams, probs_batched_dyn, sample_tokens_batched
 
 
 @dataclass
@@ -62,10 +62,12 @@ class BatchConfig:
     kv_dtype: str = "bfloat16"
     admit_chunk: int = 4  # max requests per batched admission prefill
     # (chunks are power-of-two sized: bounded set of compiled variants)
-    lookup_gamma: int = 0  # >0: prompt-lookup speculative decode (greedy
-    # only — every request must run temp=0, repeat_penalty=1). Each decode
+    lookup_gamma: int = 0  # >0: prompt-lookup speculative decode. Each
     # round verifies up to lookup_gamma tokens drafted from the row's own
-    # context, at ~the cost of one plain step (see runtime/speculative.py).
+    # context at ~the cost of one plain step (runtime/speculative.py).
+    # Greedy rows emit exactly the plain greedy stream; sampled rows are
+    # exactly target-distributed (deterministic-proposal rejection, repeat
+    # penalty folded in per verify position).
 
 
 class BatchedEngine:
@@ -213,6 +215,125 @@ class BatchedEngine:
             )
             return em, cnt, toks, cache, ctx, n_past
 
+        @partial(
+            jax.jit,
+            static_argnames=("n_steps", "gamma", "top_k"),
+            donate_argnums=(1, 3),
+        )
+        def _decode_lookup_sampled(params, cache, toks0, ctx, last, keys,
+                                   n_past, top_p, temp, penalty, n_steps,
+                                   gamma, top_k):
+            # sampled lookup speculation, mixed greedy/sampled rows: the
+            # deterministic draft d is accepted with prob p_t(d) (greedy rows
+            # see a point-mass p_t, so accept == argmax-agreement), rejection
+            # resamples from p_t with d zeroed — exactly target-distributed.
+            # The repeat-penalty window for position i depends only on the
+            # KNOWN consumed inputs seq[:, :i+1], so penalty folds in
+            # per-position with static window shifts.
+            s_ctx = ctx.shape[1]
+            idx = jnp.arange(s_ctx, dtype=jnp.int32)[None]
+            w = last.shape[1]
+            nb = toks0.shape[0]
+
+            def body(state, _):
+                toks, cache, ctx, last, keys, n_past = state
+                prev = jnp.take_along_axis(
+                    ctx, jnp.maximum(n_past - 1, 0)[:, None], 1
+                )[:, 0]
+                shifted = jnp.roll(ctx, 1, axis=1)
+                match = (
+                    (idx >= 1)
+                    & (idx <= (n_past - gamma)[:, None])
+                    & (ctx == toks[:, None])
+                    & (shifted == prev[:, None])
+                )
+                p = jnp.max(jnp.where(match, idx, -1), axis=1)
+                draft = jax.vmap(
+                    lambda c, pp: jax.lax.dynamic_slice(
+                        c, (jnp.maximum(pp, 0) + 1,), (gamma - 1,)
+                    )
+                )(ctx, p)
+                draft = jnp.where((p >= 0)[:, None], draft, jnp.int32(-1))
+                seq = jnp.concatenate([toks[:, None], draft], axis=1)
+                logits, cache, _ = llama_forward(
+                    params, seq, cache, n_past, cfg_, logits_all=True
+                )
+                pts = []
+                for i in range(gamma):
+                    win_i = (
+                        jnp.concatenate([last, seq[:, 1 : i + 1]], axis=1)[:, -w:]
+                        if i > 0 else last
+                    )
+                    pts.append(
+                        probs_batched_dyn(
+                            logits[:, i], win_i, top_k, top_p, temp, penalty
+                        )
+                    )
+                pt_all = jnp.stack(pts, axis=1)  # [B, gamma, V]
+
+                ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+                keys2, ku, kc = ks[:, 0], ks[:, 1], ks[:, 2]
+                us = jax.vmap(
+                    lambda k: jax.random.uniform(k, (max(gamma - 1, 1),))
+                )(ku)[:, : gamma - 1]
+                safe = jnp.maximum(draft, 0)
+                pt_draft = jnp.take_along_axis(
+                    pt_all[:, : gamma - 1], safe[:, :, None], axis=2
+                )[..., 0]
+                acc = (us < pt_draft) & (draft >= 0)
+                k = jnp.argmin(
+                    jnp.concatenate([acc, jnp.zeros((nb, 1), bool)], axis=1),
+                    axis=1,
+                ).astype(jnp.int32)
+                pt_k = jnp.take_along_axis(
+                    pt_all, k[:, None, None], axis=1
+                )[:, 0]  # [B, V]
+                safe_pad = jnp.concatenate(
+                    [safe, jnp.zeros((nb, 1), jnp.int32)], axis=1
+                )
+                rej = jnp.take_along_axis(
+                    safe_pad, jnp.minimum(k, gamma - 1)[:, None], axis=1
+                )[:, 0]
+                drop = (k < gamma - 1) & (p >= 0)
+                vmask = (
+                    jnp.arange(pt_k.shape[1])[None] == rej[:, None]
+                ) & drop[:, None]
+                resid = jnp.where(vmask, 0.0, pt_k)
+                resid = resid / jnp.maximum(
+                    resid.sum(axis=1, keepdims=True), 1e-30
+                )
+                corr = jax.vmap(
+                    lambda kk, r: jax.random.categorical(kk, jnp.log(r + 1e-30))
+                )(kc, resid).astype(jnp.int32)
+                draft_pad = jnp.concatenate(
+                    [draft, jnp.zeros((nb, 1), jnp.int32)], axis=1
+                )
+                emitted = jnp.where(
+                    jnp.arange(gamma)[None] < k[:, None], draft_pad,
+                    corr[:, None],
+                )
+                count = k + 1
+                ctx = jax.vmap(
+                    lambda c, s, np_: jax.lax.dynamic_update_slice(c, s, (np_,))
+                )(ctx, seq, n_past)
+                last = jax.vmap(
+                    lambda l, e, c: jax.lax.dynamic_slice(
+                        jnp.concatenate([l, e]), (c,), (w,)
+                    )
+                )(last, emitted, count)
+                return (
+                    (corr, cache, ctx, last, keys2, n_past + count),
+                    (emitted, count),
+                )
+
+            state = (toks0, cache, ctx, last, keys, n_past)
+            (toks, cache, ctx, last, keys, n_past), (em, cnt) = jax.lax.scan(
+                body, state, None, length=n_steps
+            )
+            return em, cnt, toks, cache, ctx, last, keys, n_past
+
+        self._decode_lookup_sampled = _decode_lookup_sampled
+
         @jax.jit
         def _ctx_write(ctx, row, slot):
             return jax.lax.dynamic_update_slice(ctx, row[None], (slot, 0))
@@ -312,10 +433,7 @@ class BatchedEngine:
         total = len(prompt) + (self.prefixes[prefix][1] if prefix >= 0 else 0)
         g = self.bcfg.lookup_gamma
         if g > 0:
-            # lookup speculation is greedy-equivalence only (temp=0 decoding
-            # is pure argmax — sampling.py skips the penalty there), and the
-            # per-round gamma-window writes need gamma-1 rows of slack
-            assert sp.temp == 0.0, "lookup_gamma requires greedy requests"
+            # the per-round gamma-window writes need gamma-1 rows of slack
             assert total + n_predict + g - 1 <= self.bcfg.n_ctx, (
                 "request exceeds n_ctx (lookup needs gamma-1 rows of slack)"
             )
@@ -522,16 +640,40 @@ class BatchedEngine:
         round's g-row write window inside the slot region."""
         n_steps = min(self.bcfg.block, max(1, room // g))
         n_steps = 1 << (n_steps.bit_length() - 1)
-        t0 = time.perf_counter()
-        em, cnt, toks, self.cache, self.ctx_dev, npast_dev = self._decode_lookup(
-            self.params,
-            self.cache,
-            jnp.asarray(self.cur_tok),
-            self.ctx_dev,
-            jnp.asarray(self.n_past),
-            n_steps,
-            g,
+        sampled = any(
+            req is not None and req.sp.temp > 0 for req in self.slots
         )
+        t0 = time.perf_counter()
+        if sampled:
+            (em, cnt, toks, self.cache, self.ctx_dev, last, self.keys,
+             npast_dev) = self._decode_lookup_sampled(
+                self.params,
+                self.cache,
+                jnp.asarray(self.cur_tok),
+                self.ctx_dev,
+                jnp.asarray(self.last_window),
+                self.keys,
+                jnp.asarray(self.n_past),
+                jnp.asarray(self.top_p),
+                jnp.asarray(self.temp),
+                jnp.asarray(self.penalty),
+                n_steps,
+                g,
+                self.bcfg.top_k,
+            )
+            self.last_window = np.array(last)
+        else:
+            em, cnt, toks, self.cache, self.ctx_dev, npast_dev = (
+                self._decode_lookup(
+                    self.params,
+                    self.cache,
+                    jnp.asarray(self.cur_tok),
+                    self.ctx_dev,
+                    jnp.asarray(self.n_past),
+                    n_steps,
+                    g,
+                )
+            )
         em = np.asarray(em)  # [n_steps, B, g]
         cnt = np.asarray(cnt)  # [n_steps, B]
         toks_h = np.asarray(toks)

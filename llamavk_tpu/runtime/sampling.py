@@ -180,3 +180,43 @@ def probs_from_logits(
     probs = probs / probs.sum()
     full = jnp.zeros(v).at[top_idx].set(probs)
     return jnp.where(temp > 0, full, greedy)
+
+
+def probs_from_logits_dyn(
+    logits: jax.Array,  # [V] f32
+    last_tokens: jax.Array,  # [W] int32, -1 padded (repeat-penalty window)
+    top_k: int,  # static
+    top_p: jax.Array,  # traced scalars — per-request values under vmap
+    temp: jax.Array,
+    repeat_penalty: jax.Array,
+) -> jax.Array:
+    """Full-vocab distribution sample_token_dyn draws from (repeat penalty +
+    temperature + top-k + top-p). Greedy (temp <= 0) is a point mass on the
+    raw argmax, exactly matching sample_token_dyn's greedy branch — so one
+    code path serves mixed greedy/sampled batches (lookup speculation)."""
+    v = logits.shape[-1]
+    greedy = jnp.zeros(v).at[jnp.argmax(logits)].set(1.0)
+    scale = jnp.where(temp > 0, 1.0 / jnp.maximum(temp, 1e-6), 1.0)
+    seen = jnp.zeros((v,), bool).at[
+        jnp.where(last_tokens >= 0, last_tokens, 0)
+    ].set(last_tokens >= 0)
+    scaled = logits * scale
+    penalized = jnp.where(
+        logits < 0.0, scaled * repeat_penalty, scaled / repeat_penalty
+    )
+    scaled = jnp.where(seen, penalized, scaled)
+    k = v if top_k <= 0 else min(top_k, v)
+    top_vals, top_idx = jax.lax.top_k(scaled, k)
+    probs = jax.nn.softmax(top_vals)
+    csum = jnp.cumsum(probs)
+    keep = jnp.concatenate([jnp.ones((1,), bool), csum[:-1] < top_p])
+    probs = jnp.where(keep, probs, 0.0)
+    probs = probs / probs.sum()
+    full = jnp.zeros(v).at[top_idx].set(probs)
+    return jnp.where(temp > 0, full, greedy)
+
+
+# [B]-batched twin (top_k static shared)
+probs_batched_dyn = jax.vmap(
+    probs_from_logits_dyn, in_axes=(0, 0, None, 0, 0, 0)
+)

@@ -31,6 +31,8 @@ class Tokenizer:
         self.token_to_id: dict[bytes, int] = {}
         for i, tok in enumerate(vocab):
             self.token_to_id[tok.text] = i
+        self._native = None  # built lazily on first encode
+        self._native_tried = False
 
     @property
     def n_vocab(self) -> int:
@@ -41,6 +43,22 @@ class Tokenizer:
         out = [BOS_ID] if bos else []
         if not data:
             return out if bos else []
+
+        # C++ fast path (the reference tokenizer is C++, llama.cpp:1199-1350;
+        # the Python path below is its bit-identical fallback twin)
+        if not self._native_tried:
+            self._native_tried = True
+            from . import native as _nv
+
+            self._native = _nv.make_tokenizer(
+                [t.text for t in self.vocab],
+                [t.score for t in self.vocab],
+            )
+        if self._native is not None:
+            ids = self._native.encode(data)
+            if ids is not None:
+                out.extend(ids)
+                return out
 
         # split into utf-8 characters (clamped at end of data)
         starts: list[int] = []

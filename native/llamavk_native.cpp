@@ -21,7 +21,11 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <string>
+#include <string_view>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 #include <fcntl.h>
@@ -391,6 +395,112 @@ void* lvk_mmap_open(const char* path, int64_t* size_out) {
 
 void lvk_mmap_close(void* addr, int64_t size) {
   if (addr) munmap(addr, size);
+}
+
+// --- tokenizer: SentencePiece-style greedy bigram merge ---------------------
+// Twin of llamavk_tpu/tokenizer.py (itself a behavioral re-implementation of
+// the reference tokenizer, llama.cpp:1199-1350). Must stay BIT-IDENTICAL to
+// the Python twin: same heap ordering ((-score, left, right, size) ascending
+// == score desc, then leftmost pair), same stale-entry skip, same byte
+// fallback (id = byte + 3). tests/test_native.py cross-checks.
+
+struct LvkTokenizer {
+  std::unordered_map<std::string, int32_t> token_to_id;
+  std::vector<float> scores;
+};
+
+void* lvk_tokenizer_create(const uint8_t* texts, const int64_t* offsets,
+                           const float* scores, int64_t n_vocab) {
+  auto* tk = new LvkTokenizer();
+  tk->scores.assign(scores, scores + n_vocab);
+  tk->token_to_id.reserve((size_t)n_vocab * 2);
+  for (int64_t i = 0; i < n_vocab; ++i) {
+    // later duplicates overwrite earlier ids (map assignment order)
+    tk->token_to_id[std::string((const char*)texts + offsets[i],
+                                (size_t)(offsets[i + 1] - offsets[i]))] =
+        (int32_t)i;
+  }
+  return tk;
+}
+
+void lvk_tokenizer_free(void* h) { delete (LvkTokenizer*)h; }
+
+int64_t lvk_tokenize(void* h, const uint8_t* data, int64_t n, int32_t* out,
+                     int64_t out_cap) {
+  static const int kUtf8Len[16] = {1, 1, 1, 1, 1, 1, 1, 1,
+                                   1, 1, 1, 1, 2, 2, 3, 4};
+  auto* tk = (LvkTokenizer*)h;
+  if (n <= 0) return 0;
+
+  std::vector<int64_t> starts, lens, prev, nxt;
+  for (int64_t off = 0; off < n;) {
+    int64_t len = kUtf8Len[data[off] >> 4];
+    if (len > n - off) len = n - off;
+    starts.push_back(off);
+    lens.push_back(len);
+    off += len;
+  }
+  int64_t count = (int64_t)starts.size();
+  prev.resize(count);
+  nxt.resize(count);
+  for (int64_t i = 0; i < count; ++i) {
+    prev[i] = i - 1;
+    nxt[i] = i + 1 < count ? i + 1 : -1;
+  }
+
+  struct Entry {
+    float neg_score;
+    int64_t left, right, size;
+    bool operator>(const Entry& o) const {  // min-heap on the Python tuple
+      if (neg_score != o.neg_score) return neg_score > o.neg_score;
+      if (left != o.left) return left > o.left;
+      if (right != o.right) return right > o.right;
+      return size > o.size;
+    }
+  };
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+
+  auto try_add = [&](int64_t left, int64_t right) {
+    if (left < 0 || right < 0) return;
+    int64_t s = starts[left];
+    int64_t size = lens[left] + lens[right];
+    auto it = tk->token_to_id.find(
+        std::string((const char*)data + s, (size_t)size));
+    if (it == tk->token_to_id.end()) return;
+    heap.push(Entry{-tk->scores[it->second], left, right, size});
+  };
+  for (int64_t i = 1; i < count; ++i) try_add(i - 1, i);
+
+  while (!heap.empty()) {
+    Entry e = heap.top();
+    heap.pop();
+    if (lens[e.left] == 0 || lens[e.right] == 0 ||
+        lens[e.left] + lens[e.right] != e.size)
+      continue;  // stale: a symbol was already merged
+    lens[e.left] += lens[e.right];
+    lens[e.right] = 0;
+    nxt[e.left] = nxt[e.right];
+    if (nxt[e.right] >= 0) prev[nxt[e.right]] = e.left;
+    try_add(prev[e.left], e.left);
+    try_add(e.left, nxt[e.left]);
+  }
+
+  int64_t m = 0;
+  for (int64_t i = 0; i != -1; i = nxt[i]) {
+    int64_t s = starts[i], len = lens[i];
+    auto it = tk->token_to_id.find(
+        std::string((const char*)data + s, (size_t)len));
+    if (it == tk->token_to_id.end()) {
+      for (int64_t b = 0; b < len; ++b) {
+        if (m >= out_cap) return -1;
+        out[m++] = (int32_t)data[s + b] + 3;  // byte fallback
+      }
+    } else {
+      if (m >= out_cap) return -1;
+      out[m++] = it->second;
+    }
+  }
+  return m;
 }
 
 }  // extern "C"

@@ -154,10 +154,45 @@ def test_lookup_batched_with_prefix_cache(model):
         assert r.generated == want
 
 
-def test_lookup_rejects_sampled_requests(model):
+def test_lookup_rejects_overflowing_requests(model):
+    """lookup needs gamma-1 rows of end-of-slot slack; a request that would
+    fill the slot exactly must be rejected at submit time."""
     cfg, params, _ = model
     be = BatchedEngine(
         cfg, params, BatchConfig(max_batch=2, n_ctx=64, lookup_gamma=4)
     )
     with pytest.raises(AssertionError):
-        be.submit([1, 2], 4, SamplerParams(temp=0.8))
+        be.submit([1, 2], 62, GREEDY)
+
+
+def test_lookup_batched_sampled_mixed(model):
+    """Sampled lookup block: greedy rows must STILL match plain greedy
+    exactly (point-mass accept), sampled rows emit full budgets of valid
+    ids; the same engine config is deterministic across runs."""
+    cfg, params, _ = model
+
+    def run():
+        be = BatchedEngine(
+            cfg, params,
+            BatchConfig(max_batch=4, n_ctx=128, block=4, lookup_gamma=3),
+        )
+        reqs = [
+            be.submit([5, 9, 2, 30, 5, 9, 2, 30], 8, GREEDY, ignore_eos=True),
+            be.submit([7, 3, 11], 8,
+                      SamplerParams(temp=0.8, repeat_penalty=1.1),
+                      seed=3, ignore_eos=True),
+            be.submit([1, 2, 3, 4, 1, 2, 3, 4], 8, GREEDY, ignore_eos=True),
+            be.submit([42, 17], 8, SamplerParams(temp=1.0), seed=9,
+                      ignore_eos=True),
+        ]
+        be.run()
+        return [r.generated for r in reqs]
+
+    outs = run()
+    for i, p in zip([0, 2], [[5, 9, 2, 30, 5, 9, 2, 30], [1, 2, 3, 4, 1, 2, 3, 4]]):
+        want = _single_stream(cfg, params, p, 8, n_ctx=128)
+        assert outs[i] == want, (i, outs[i], want)
+    for i in (1, 3):
+        assert len(outs[i]) == 8
+        assert all(0 <= t < cfg.n_vocab for t in outs[i])
+    assert outs == run()  # seeded-deterministic end to end

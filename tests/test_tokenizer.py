@@ -44,3 +44,30 @@ def test_byte_fallback(tok):
     # bytes that can't merge fall back to id = byte + 3
     ids = tok.encode(b"\x00\x01", bos=False)
     assert ids == [3, 4]
+
+
+def test_native_matches_python(tok, monkeypatch):
+    """The C++ tokenizer must be BIT-IDENTICAL to the Python twin on golden
+    vectors, random byte soup (incl. invalid utf-8 -> byte fallback), and
+    repetitive text (heap tie-break order)."""
+    import numpy as np
+    from llamavk_tpu import native as nv
+
+    if not nv.available():
+        pytest.skip("native lib unavailable")
+    # fresh instances: one forced-Python, one native
+    py_tok = Tokenizer(tok.vocab)
+    py_tok._native_tried = True  # never builds the native path
+    nat_tok = Tokenizer(tok.vocab)
+    nat_tok.encode("warm")  # builds the handle
+    assert nat_tok._native is not None, "native tokenizer failed to build"
+
+    rng = np.random.default_rng(0)
+    cases = list(GOLDEN) + [
+        " the quick brown fox " * 40,
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "".join(chr(32 + int(c) % 95) for c in rng.integers(0, 1000, 500)),
+    ]
+    byte_cases = [bytes(rng.integers(0, 256, 300).astype(np.uint8)) for _ in range(3)]
+    for case in cases + byte_cases:
+        assert nat_tok.encode(case) == py_tok.encode(case), case

@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--block", type=int, default=32)
     ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--lookup-gamma", type=int, default=0,
+                    help="prompt-lookup speculation per decode round (0=off)")
+    ap.add_argument("--greedy", action="store_true",
+                    help="submit greedy requests (temp 0) instead of temp 0.8")
     args = ap.parse_args()
+    sp_load = (SamplerParams(temp=0.0) if args.greedy
+               else SamplerParams(temp=0.8))
 
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
     log(f"building synthetic {args.model} params ...")
@@ -42,7 +48,7 @@ def main():
         cfg,
         params,
         BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block,
-                    kv_dtype=args.kv_dtype),
+                    kv_dtype=args.kv_dtype, lookup_gamma=args.lookup_gamma),
     )
 
     rng = np.random.default_rng(0)
@@ -63,7 +69,7 @@ def main():
     t0 = time.perf_counter()
     for plen in (7, 15, 31, 63, 127):
         for _ in range(7):
-            eng.submit(list(range(10, 10 + plen)), 2, sp=SamplerParams(temp=0.8))
+            eng.submit(list(range(10, 10 + plen)), 2, sp=sp_load)
         eng.run()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
     eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0, prefill_calls=0)
@@ -72,7 +78,7 @@ def main():
     load = make_load(args.requests)
     t0 = time.perf_counter()
     for prompt, plen, npred, i in load:
-        r = eng.submit(prompt, npred, sp=SamplerParams(temp=0.8), seed=i)
+        r = eng.submit(prompt, npred, sp=sp_load, seed=i)
         reqs.append((r, plen, npred))
     log(f"{args.requests} requests submitted; running scheduler ...")
     done = eng.run()

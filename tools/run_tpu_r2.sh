@@ -33,6 +33,10 @@ run spec_round 2400 python tools/bench_spec.py --gamma 4
 run lookup_round 2400 python tools/bench_spec.py --lookup --gamma 4
 run lookup_round_g8 2400 python tools/bench_spec.py --lookup --gamma 8
 
+# 5. serving A/B: plain vs lookup speculation (same sampled load)
+run serving_plain 3600 python tools/bench_serving.py --max-batch 32
+run serving_lookup 3600 python tools/bench_serving.py --max-batch 32 --lookup-gamma 4
+
 echo "=== summary ==="
 grep -h '"metric"' "$OUT"/*.out 2>/dev/null
 grep -h "roofline:" "$OUT"/*.err 2>/dev/null
