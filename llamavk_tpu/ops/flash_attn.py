@@ -69,8 +69,9 @@ def attention_ref(q, k, v, n_past):
     return out
 
 
-def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
-                   block_k: int, scale: float, ring_bounded: bool = False):
+def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
+                   block_t: int, block_k: int, scale: float,
+                   ring_bounded: bool = False):
     """Fused cache-write + attention: merge this program's new K/V rows into
     the aliased cache, then attend over the updated cache — the design of the
     reference's attention shader, which also writes K,V to its cache slot
@@ -99,8 +100,12 @@ def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
     idx_ref, npast_ref, wrow_ref, commit_ref, boff_ref = (
         next(it), next(it), next(it), next(it), next(it)
     )
+    pid_ref = next(it) if prefix else None
+    plen_ref = next(it) if prefix else None
     q_ref, knew_ref, vnew_ref = next(it), next(it), next(it)
     _k_in, _v_in = next(it), next(it)  # aliased with *_out
+    pk_hbm = next(it) if prefix else None
+    pv_hbm = next(it) if prefix else None
     if quantized:
         _ks_in, _vs_in = next(it), next(it)
     pos_hbm = next(it) if ring else None
@@ -237,17 +242,23 @@ def _update_kernel(*args, quantized: bool, ring: bool, block_t: int,
     _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
-            babs=babs, block_t=block_t, block_k=block_k, scale=scale,
+            babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
+            plen_ref=plen_ref, block_t=block_t, block_k=block_k, scale=scale,
             ring_bounded=ring_bounded)
 
 
-def _read_kernel(*args, quantized: bool, ring: bool, block_t: int,
-                 block_k: int, scale: float, ring_bounded: bool = False):
-    """Generic read-path entry: unpacks the (quantized x ring)-dependent
-    positional ref list Pallas passes and routes to _attend."""
+def _read_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
+                 block_t: int, block_k: int, scale: float,
+                 ring_bounded: bool = False):
+    """Generic read-path entry: unpacks the (quantized x ring x prefix)-
+    dependent positional ref list Pallas passes and routes to _attend."""
     it = iter(args)
     idx_ref, npast_ref, boff_ref = next(it), next(it), next(it)
+    pid_ref = next(it) if prefix else None
+    plen_ref = next(it) if prefix else None
     q_ref, k_hbm, v_hbm = next(it), next(it), next(it)
+    pk_hbm = next(it) if prefix else None
+    pv_hbm = next(it) if prefix else None
     ks_hbm = next(it) if quantized else None
     vs_hbm = next(it) if quantized else None
     pos_hbm = next(it) if ring else None
@@ -262,13 +273,15 @@ def _read_kernel(*args, quantized: bool, ring: bool, block_t: int,
     _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
-            babs=babs, block_t=block_t, block_k=block_k, scale=scale,
+            babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
+            plen_ref=plen_ref, block_t=block_t, block_k=block_k, scale=scale,
             ring_bounded=ring_bounded)
 
 
 def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
-            pos_hbm=None, posbuf=None, psems=None, babs=None, *,
+            pos_hbm=None, posbuf=None, psems=None, babs=None,
+            pk_hbm=None, pv_hbm=None, pid_ref=None, plen_ref=None, *,
             block_t: int, block_k: int, scale: float,
             ring_bounded: bool = False):
     """One program: HG heads x BT queries against the ragged cache prefix.
@@ -363,6 +376,77 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         if ring:
             pos_dma(slot, i).wait()
 
+    m0 = jnp.full((hg, bt, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((hg, bt, 1), jnp.float32)
+    a0 = jnp.zeros((hg, bt, d), jnp.float32)
+
+    if pk_hbm is not None:
+        # shared read-only prefix pre-pass: rows [0, plen) of prefix-pool
+        # entry pid[b] hold positions [0, plen) shared by every query of this
+        # program (queries sit at logical positions >= plen, so no causal
+        # masking — only the ragged plen bound). The online-softmax carry
+        # flows straight into the main (per-slot suffix) loop below. This is
+        # the general form of prefix caching: ONE pool copy of a shared
+        # system prompt serves every batch row (reference seed: historyIndex
+        # indirection, vulkan/llama-vk.cpp:984-987).
+        pid = pid_ref[b]
+        plen = plen_ref[b]
+        pnblocks = pl.cdiv(plen, block_k)
+
+        def pk_dma(slot, i):
+            return pltpu.make_async_copy(
+                pk_hbm.at[layer, pid, pl.ds(hb * hg, hg),
+                          pl.ds(i * block_k, block_k), :],
+                kbuf.at[slot], sems.at[0, slot],
+            )
+
+        def pv_dma(slot, i):
+            return pltpu.make_async_copy(
+                pv_hbm.at[layer, pid, pl.ds(hb * hg, hg),
+                          pl.ds(i * block_k, block_k), :],
+                vbuf.at[slot], sems.at[1, slot],
+            )
+
+        @pl.when(pnblocks > 0)
+        def _():
+            pk_dma(0, 0).start()
+            pv_dma(0, 0).start()
+
+        def pbody(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < pnblocks)
+            def _():
+                pk_dma(1 - slot, i + 1).start()
+                pv_dma(1 - slot, i + 1).start()
+
+            pk_dma(slot, i).wait()
+            pv_dma(slot, i).wait()
+            kk = kbuf[slot]
+            s = jax.lax.dot_general(
+                q.astype(kk.dtype), kk,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [HG, BT, BK]
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bt, block_k), 2
+            )
+            s = jnp.where(col < plen, s, _NEG)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            vv = vbuf[slot]
+            pv = jax.lax.dot_general(
+                p.astype(vv.dtype), vv,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m0, l0, a0 = jax.lax.fori_loop(0, pnblocks, pbody, (m0, l0, a0))
+
     start_dmas(0, 0)
 
     if quantized:
@@ -448,9 +532,6 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         acc_new = acc * alpha + pv
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((hg, bt, 1), _NEG, jnp.float32)
-    l0 = jnp.zeros((hg, bt, 1), jnp.float32)
-    a0 = jnp.zeros((hg, bt, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, a0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -473,6 +554,10 @@ def flash_attention(
     kv_pos: jax.Array | None = None,  # [S, B] int32: history-ring positions
     batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
     ring_bounded: bool = False,  # ragged bound on rings with pos[r] >= r
+    prefix_k: jax.Array | None = None,  # [(L,) NP, H, Sp, D] shared pool
+    prefix_v: jax.Array | None = None,
+    prefix_id: jax.Array | None = None,  # [B] int32 pool entry per row
+    prefix_len: jax.Array | None = None,  # [B] int32 valid prefix rows
 ) -> jax.Array:
     """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
     DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
@@ -488,16 +573,29 @@ def flash_attention(
     replaces the prefix bound."""
     quantized = k_scale is not None
     ring = kv_pos is not None
+    prefix = prefix_k is not None
+    assert not (prefix and (quantized or ring)), (
+        "shared-prefix attention: bf16 non-ring caches only (v1)"
+    )
     if layer_idx is None:
         k = k[None]
         v = v[None]
         if quantized:
             k_scale = k_scale[None]
             v_scale = v_scale[None]
+        if prefix:
+            prefix_k = prefix_k[None]
+            prefix_v = prefix_v[None]
         layer_idx = jnp.int32(0)
     b, t, h, d = q.shape
     s = k.shape[3]
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
+    if prefix:
+        assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
+        assert prefix_k.shape[3] % bk == 0, (
+            f"prefix pool length {prefix_k.shape[3]} must be a multiple of "
+            f"the kv block {bk}"
+        )
     bt = min(block_t, t)
     tpad = -(-t // bt) * bt
     if tpad != t:
@@ -526,12 +624,22 @@ def flash_attention(
 
     grid = (b, h // hg, tpad // bt)
     kernel = functools.partial(
-        _read_kernel, quantized=quantized, ring=ring, block_t=bt, block_k=bk,
-        scale=1.0 / (d**0.5), ring_bounded=ring_bounded,
+        _read_kernel, quantized=quantized, ring=ring, prefix=prefix,
+        block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+        ring_bounded=ring_bounded,
     )
     extra_in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
         2 * quantized + ring
     )
+    prefix_in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (2 * prefix)
+    prefix_scalars = []
+    prefix_args = []
+    if prefix:
+        prefix_scalars = [
+            jnp.broadcast_to(jnp.asarray(prefix_id, jnp.int32), (b,)),
+            jnp.broadcast_to(jnp.asarray(prefix_len, jnp.int32), (b,)),
+        ]
+        prefix_args = [prefix_k, prefix_v]
     extra_scratch = []
     extra_args = []
     if quantized:
@@ -560,7 +668,7 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=3 + 2 * prefix,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -569,6 +677,7 @@ def flash_attention(
                 ),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
+                *prefix_in_specs,
                 *extra_in_specs,
             ],
             out_specs=pl.BlockSpec(
@@ -589,8 +698,8 @@ def flash_attention(
         interpret=interpret_mode(),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec,
-        jnp.asarray(batch_offset, jnp.int32).reshape(1), qt, k, v,
-        *extra_args,
+        jnp.asarray(batch_offset, jnp.int32).reshape(1), *prefix_scalars,
+        qt, k, v, *prefix_args, *extra_args,
     )
     return out.transpose(0, 2, 1, 3)[:, :t]
 
@@ -617,6 +726,10 @@ def flash_attention_update(
     write_row: jax.Array | None = None,  # [B] int32 physical start rows
     batch_offset: jax.Array | int = 0,  # first cache row of this microbatch
     ring_bounded: bool = False,  # ragged bound on rings with pos[r] >= r
+    prefix_k: jax.Array | None = None,  # [L, NP, H, Sp, D] shared pool
+    prefix_v: jax.Array | None = None,
+    prefix_id: jax.Array | None = None,  # [B] int32 pool entry per row
+    prefix_len: jax.Array | None = None,  # [B] int32 valid prefix rows
 ):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
@@ -633,9 +746,19 @@ def flash_attention_update(
     not cross the ring end (caller invariant)."""
     quantized = k_scale is not None
     ring = kv_pos is not None
+    prefix = prefix_k is not None
+    assert not (prefix and (quantized or ring)), (
+        "shared-prefix attention: bf16 non-ring caches only (v1)"
+    )
     b, t, h, d = q.shape
     s = k.shape[3]
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
+    if prefix:
+        assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
+        assert prefix_k.shape[3] % bk == 0, (
+            f"prefix pool length {prefix_k.shape[3]} must be a multiple of "
+            f"the kv block {bk}"
+        )
     bt = min(block_t, t)
     assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
     step = 32 if quantized else 8
@@ -671,14 +794,15 @@ def flash_attention_update(
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(
-        _update_kernel, quantized=quantized, ring=ring,
+        _update_kernel, quantized=quantized, ring=ring, prefix=prefix,
         block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
         ring_bounded=ring_bounded,
     )
     # operand assembly (must mirror _update_kernel's unpacking order):
-    # scalars: layer_idx, npast, wrow, commit, batch_offset
-    # inputs:  q, k_new, v_new, k, v, [k_scale, v_scale], [kv_pos]
+    # scalars: layer_idx, npast, wrow, commit, batch_offset, [pid, plen]
+    # inputs:  q, k_new, v_new, k, v, [pk, pv], [k_scale, v_scale], [kv_pos]
     # outputs: o, k, v, [k_scale, v_scale]
+    n_scalars = 5 + 2 * prefix
     in_specs = [blk, blk, blk, any_spec, any_spec]
     out_specs = [blk, any_spec, any_spec]
     out_shape = [
@@ -687,9 +811,14 @@ def flash_attention_update(
         jax.ShapeDtypeStruct(v.shape, v.dtype),
     ]
     operands = [qt, knt, vnt, k, v]
+    if prefix:
+        in_specs += [any_spec, any_spec]
+        operands += [prefix_k, prefix_v]
     # aliases index the FLATTENED inputs (scalar-prefetch args included):
-    # 5 scalars + q,knew,vnew → k is input 8, v 9, scales 10, 11
-    aliases = {8: 1, 9: 2}
+    # n_scalars + q,knew,vnew → k is input n_scalars+3, v +4, scales +5, +6
+    # (+2 more when the prefix pool operands sit between v and the scales —
+    # but prefix excludes quantized in v1, so scales keep +5/+6)
+    aliases = {n_scalars + 3: 1, n_scalars + 4: 2}
     scratch = [
         pltpu.VMEM((2, hg, bk, d), k.dtype),
         pltpu.VMEM((2, hg, bk, d), v.dtype),
@@ -705,7 +834,7 @@ def flash_attention_update(
             jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ]
         operands += [k_scale, v_scale]
-        aliases.update({10: 3, 11: 4})
+        aliases.update({n_scalars + 5: 3, n_scalars + 6: 4})
         scratch += [
             pltpu.VMEM((2, bk, hs), jnp.float32),
             pltpu.VMEM((2, bk, hs), jnp.float32),
@@ -738,7 +867,7 @@ def flash_attention_update(
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=n_scalars,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -762,6 +891,13 @@ def flash_attention_update(
         wrow_vec,
         jnp.asarray(commit, jnp.int32).reshape(1),
         jnp.asarray(batch_offset, jnp.int32).reshape(1),
+        *(
+            [
+                jnp.broadcast_to(jnp.asarray(prefix_id, jnp.int32), (b,)),
+                jnp.broadcast_to(jnp.asarray(prefix_len, jnp.int32), (b,)),
+            ]
+            if prefix else []
+        ),
         *operands,
     )
     out = results[0].transpose(0, 2, 1, 3)

@@ -107,3 +107,91 @@ def test_flash_update_matches_manual_update():
     # cache rows written exactly; other layers untouched
     np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
     np.testing.assert_array_equal(np.asarray(vc2), vc_ref)
+
+
+def _prefix_ref(q, k, v, n_past_vec, pk, pv, pid, plen):
+    """Dense oracle: per row, attention over [prefix rows | slot rows]."""
+    b, t, h, d = q.shape
+    outs = []
+    for bi in range(b):
+        pl_ = int(plen[bi])
+        kcat = jnp.concatenate(
+            [pk[pid[bi], :, :pl_, :], k[bi]], axis=1
+        )[None]  # [1, H, pl+S, D]
+        vcat = jnp.concatenate([pv[pid[bi], :, :pl_, :], v[bi]], axis=1)[None]
+        # logical causal bound: slot row j visible iff j <= npast + ti;
+        # prefix rows always visible == n_past' = plen + npast in cat space
+        outs.append(
+            attention_ref(
+                q[bi : bi + 1], kcat, vcat, jnp.int32(pl_ + int(n_past_vec[bi]))
+            )[0]
+        )
+    return jnp.stack(outs)
+
+
+@pytest.mark.parametrize(
+    "b,t,h,sp,s,d", [(2, 1, 2, 64, 64, 32), (3, 8, 2, 128, 64, 32)]
+)
+def test_flash_prefix_pool_matches_reference(b, t, h, sp, s, d):
+    """Shared read-only prefix pre-pass: per-row pool entries of different
+    ragged lengths (incl. plen=0 = no prefix) must equal the dense oracle
+    over the concatenated [prefix | slot] sequence."""
+    rng = np.random.default_rng(1)
+    npast = np.array([3, 9, 5][:b], np.int32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    np_pool = 3
+    pk = jnp.asarray(rng.standard_normal((np_pool, h, sp, d)), jnp.bfloat16)
+    pv = jnp.asarray(rng.standard_normal((np_pool, h, sp, d)), jnp.bfloat16)
+    pid = np.array([2, 0, 1][:b], np.int32)
+    plen = np.array([33, 0, 64][:b], np.int32)  # ragged, incl. none
+
+    got = flash_attention(
+        q, k, v, jnp.asarray(npast), block_t=32, block_k=32,
+        prefix_k=pk, prefix_v=pv,
+        prefix_id=jnp.asarray(pid), prefix_len=jnp.asarray(plen),
+    )
+    ref = _prefix_ref(q, k, v, npast, pk, pv, pid, plen)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_flash_update_with_prefix_pool():
+    """Fused write+attend with the shared prefix pre-pass (the decode path
+    of shared-prefix serving)."""
+    from llamavk_tpu.ops.flash_attn import flash_attention_update
+
+    rng = np.random.default_rng(7)
+    L, b, t, h, s, d, sp = 2, 2, 4, 2, 64, 32, 64
+    n_past = jnp.asarray([10, 3], jnp.int32)  # slot-LOCAL rows
+    layer = jnp.int32(0)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((L, b, h, s, d)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((L, b, h, s, d)), jnp.bfloat16)
+    pk = jnp.asarray(rng.standard_normal((L, 2, h, sp, d)), jnp.bfloat16)
+    pv = jnp.asarray(rng.standard_normal((L, 2, h, sp, d)), jnp.bfloat16)
+    pid = np.array([1, 0], np.int32)
+    plen = np.array([40, 0], np.int32)
+
+    kc_ref, vc_ref = np.asarray(kc).copy(), np.asarray(vc).copy()
+    for bi in range(b):
+        p = int(n_past[bi])
+        kc_ref[0, bi, :, p : p + t] = np.asarray(k_new)[bi].transpose(1, 0, 2)
+        vc_ref[0, bi, :, p : p + t] = np.asarray(v_new)[bi].transpose(1, 0, 2)
+    want = _prefix_ref(
+        q, jnp.asarray(kc_ref[0]), jnp.asarray(vc_ref[0]), np.asarray(n_past),
+        pk[0], pv[0], pid, plen,
+    )
+    out, kc2, vc2 = flash_attention_update(
+        q, k_new, v_new, kc, vc, n_past, layer, block_t=4, block_k=32,
+        prefix_k=pk, prefix_v=pv,
+        prefix_id=jnp.asarray(pid), prefix_len=jnp.asarray(plen),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
