@@ -296,6 +296,13 @@ def llama_forward(
     cache_batch_offset: jax.Array | int = 0,  # first cache row these tokens
     # occupy (pp microbatching: a stage runs a batch SLICE against its
     # full-batch cache; kernels index rows at offset instead of slicing)
+    prefix_kv: tuple | None = None,  # ([L,NP,H,Sp,D], [L,NP,H,Sp,D]):
+    # shared read-only prefix pool — per-row entry prefix_id[b] rows
+    # [0, prefix_len[b]) hold logical positions [0, prefix_len[b]); slot
+    # cache rows then hold logical positions prefix_len[b] + row. n_past
+    # stays LOGICAL (RoPE); cache writes/bounds use n_past - prefix_len.
+    prefix_id: jax.Array | None = None,  # [B] int32
+    prefix_len: jax.Array | None = None,  # [B] int32
     ggml_rounding: str | None = None,  # differential-parity oracle: emulate
     # the C reference's scalar numerics (f16/q4_0 activation rounding per
     # matmul, f16-table silu/exp, 1/sqrt rms_norm — models/ggml_numerics.py).
@@ -362,6 +369,22 @@ def llama_forward(
     positions = (n_past[:, None] if vector_past else n_past) + jnp.arange(t)
     cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [(B,) T, D/2]
 
+    prefix = prefix_kv is not None
+    if prefix:
+        assert cache.pos is None and not cache.quantized, (
+            "shared-prefix: bf16 non-ring slot caches only (v1)"
+        )
+        assert pp_axis is None and tp_axis is None, (
+            "shared-prefix: single-replica forward only (v1)"
+        )
+        assert vector_past, "shared-prefix requires per-row n_past"
+        pfx_len_vec = jnp.asarray(prefix_len, jnp.int32)
+        pfx_id_vec = jnp.asarray(prefix_id, jnp.int32)
+        local_past = n_past - pfx_len_vec  # slot-cache row positions
+    else:
+        pfx_len_vec = pfx_id_vec = None
+        local_past = n_past
+
     # history ring: physical write rows + the updated position plane (done
     # ONCE per forward — positions are layer-independent; kernels read the
     # already-updated plane). RoPE stays on logical positions: relative
@@ -385,7 +408,7 @@ def llama_forward(
                 (wstart, jnp.int32(boff)),
             )
     else:
-        wstart = n_past
+        wstart = local_past  # == n_past without a shared prefix
         new_pos = None
 
     lp = params.layers  # stacked weights, captured (NOT scan xs — see above)
@@ -397,7 +420,7 @@ def llama_forward(
                         cos_l=None, sin_l=None):
       # per-call context (pp microbatching runs a batch SLICE per stage):
       # defaults are the whole-batch values
-      npast_l = n_past if npast_l is None else npast_l
+      npast_l = local_past if npast_l is None else npast_l
       wstart_l = wstart if wstart_l is None else wstart_l
       boff_l = boff if boff_l is None else boff_l
       cos_l = cos if cos_l is None else cos_l
@@ -435,6 +458,11 @@ def llama_forward(
             # Mosaic DMA slices need 128-lane-aligned head_dim on real TPUs;
             # every LLaMA family model has d=128, only toy configs fall back
             impl = "einsum"
+        if prefix and impl != "flash":
+            raise ValueError(
+                "shared-prefix attention requires the flash path "
+                f"(impl={impl}, head_dim={d})"
+            )
         wrow = wstart_l if ring else None
         if impl == "flash" and t % min(256, t) == 0:
             if quantized_kv:
@@ -451,6 +479,9 @@ def llama_forward(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     kv_pos=new_pos, write_row=wrow, batch_offset=boff_l,
                     ring_bounded=True,
+                    prefix_k=prefix_kv[0] if prefix else None,
+                    prefix_v=prefix_kv[1] if prefix else None,
+                    prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
                 )
         else:
             if quantized_kv:
@@ -505,6 +536,9 @@ def llama_forward(
                     q, ck, cv, npast_l, layer_idx=l,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos,
                     batch_offset=boff_l,
+                    prefix_k=prefix_kv[0] if prefix else None,
+                    prefix_v=prefix_kv[1] if prefix else None,
+                    prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
                 )
             else:
                 def brows(a, axis=0):

@@ -62,6 +62,13 @@ class BatchConfig:
     kv_dtype: str = "bfloat16"
     admit_chunk: int = 4  # max requests per batched admission prefill
     # (chunks are power-of-two sized: bounded set of compiled variants)
+    shared_prefix: bool = False  # registered prefixes live in ONE shared
+    # read-only pool the attention kernels pre-scan per row — slots hold only
+    # suffix rows (no per-slot prefix copies at all; prefix KV memory is
+    # O(pool) instead of O(batch)). bf16 KV only; the general form of the
+    # reference's historyIndex indirection (vulkan/llama-vk.cpp:984-987).
+    prefix_pool: int = 4  # shared-prefix pool entries
+    prefix_ctx: int = 256  # pool entry length (positions; multiple of 256)
     lookup_gamma: int = 0  # >0: prompt-lookup speculative decode. Each
     # round verifies up to lookup_gamma tokens drafted from the row's own
     # context at ~the cost of one plain step (runtime/speculative.py).
@@ -343,6 +350,101 @@ class BatchedEngine:
         if bcfg.lookup_gamma > 0:
             self.ctx_dev = jnp.zeros((b, bcfg.n_ctx), jnp.int32)
 
+        if bcfg.shared_prefix:
+            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
+                "shared_prefix requires bf16 KV (v1)"
+            )
+            assert bcfg.lookup_gamma == 0, (
+                "shared_prefix + lookup_gamma not composed yet"
+            )
+            assert bcfg.prefix_ctx % 256 == 0
+            pool_shape = (
+                cfg.n_layer, bcfg.prefix_pool, cfg.n_head, bcfg.prefix_ctx,
+                cfg.head_dim,
+            )
+            self.pfx_k = jnp.zeros(pool_shape, jnp.bfloat16)
+            self.pfx_v = jnp.zeros(pool_shape, jnp.bfloat16)
+            self.pfx_len = np.zeros(b, np.int32)
+            self.pfx_id = np.zeros(b, np.int32)
+
+        @partial(
+            jax.jit, static_argnames=("n_steps", "top_k"),
+            donate_argnums=(1, 3, 4),
+        )
+        def _decode_shared(params, cache, toks0, last, keys, n_past, top_p,
+                           temp, penalty, pk, pv, pid, plen, n_steps, top_k):
+            # plain decode block over [shared prefix | slot suffix] attention;
+            # n_past is LOGICAL (llama_forward uses n_past - plen for the
+            # slot rows and full positions for RoPE)
+            def body(state, _):
+                toks, cache, last, keys, n_past = state
+                logits, cache, _ = llama_forward(
+                    params, toks[:, None], cache, n_past, cfg_,
+                    prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen,
+                )
+                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                nxt = sample_tokens_batched(
+                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
+                )
+                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                return (nxt, cache, last, keys2, n_past + 1), nxt
+
+            state = (toks0, cache, last, keys, n_past)
+            (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                body, state, None, length=n_steps
+            )
+            return out.T, cache, last, keys
+
+        @partial(
+            jax.jit, static_argnames=("n", "top_k", "scratch_len"),
+            donate_argnums=(1,),
+        )
+        def _admit_chunk_shared(params, cache, toks, pfx_len_s, last_idx,
+                                slots, seeds, last_windows, top_p, temp,
+                                penalty, pk, pv, pid_s, n, top_k, scratch_len):
+            # suffix-only admission: the scratch cache covers JUST the suffix
+            # bucket; the prefix is attended straight from the shared pool —
+            # admission does no prefix copying at all
+            cacheN = init_kv_cache(cfg_, n, scratch_len)
+            npv = jnp.full((n,), pfx_len_s, jnp.int32)
+            logits, cacheN, _ = llama_forward(
+                params, toks, cacheN, npv, cfg_, last_idx=last_idx,
+                prefix_kv=(pk, pv),
+                prefix_id=jnp.full((n,), pid_s, jnp.int32), prefix_len=npv,
+            )
+            logits = logits[:, 0, :]
+
+            def ins(c, cN, row, slot):
+                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
+                return jax.lax.dynamic_update_slice(
+                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+                )
+
+            for j in range(n):
+                cache = jax.tree.map(
+                    lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
+                    cache, cacheN,
+                )
+            subs = jax.vmap(jax.random.key)(seeds + 1)
+            ids = sample_tokens_batched(
+                logits, last_windows, subs, top_k, top_p, temp, penalty
+            )
+            return cache, ids
+
+        @jax.jit
+        def _pool_write(pk, pv, ck, cv, pid):
+            zero = (jnp.int32(0),)
+            at = (jnp.int32(0), pid) + (jnp.int32(0),) * 3
+            return (
+                jax.lax.dynamic_update_slice(pk, ck, at),
+                jax.lax.dynamic_update_slice(pv, cv, at),
+            )
+
+        self._decode_shared = _decode_shared
+        self._admit_chunk_shared = _admit_chunk_shared
+        self._pool_write = _pool_write
+
         bcfg_ = self.bcfg
 
         @partial(
@@ -405,6 +507,28 @@ class BatchedEngine:
         suffix: the prefix K/V rows are copied into the slot at admission —
         prefix caching, new capability beyond the reference (whose engine
         re-evaluates every stream's full prompt)."""
+        if self.bcfg.shared_prefix:
+            plen = len(tokens)
+            assert 0 < plen <= self.bcfg.prefix_ctx, "prefix exceeds pool ctx"
+            pid = self._pid
+            assert pid < self.bcfg.prefix_pool, "prefix pool full"
+            self._pid += 1
+            bucket = 8
+            while bucket < plen:
+                bucket *= 2
+            bucket = min(bucket, self.bcfg.prefix_ctx)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :plen] = tokens
+            cache1 = init_kv_cache(self.cfg, 1, self.bcfg.prefix_ctx)
+            _, cache1 = self._prefill(
+                self.params, jnp.asarray(padded), cache1, jnp.int32(0),
+                jnp.asarray([plen - 1], np.int32),
+            )
+            self.pfx_k, self.pfx_v = self._pool_write(
+                self.pfx_k, self.pfx_v, cache1.k, cache1.v, jnp.int32(pid)
+            )
+            self.prefixes[pid] = (None, plen, list(tokens))
+            return pid
         assert 0 < len(tokens) < self.bcfg.n_ctx, "prefix length out of range"
         plen = len(tokens)
         bucket = 8
@@ -431,6 +555,9 @@ class BatchedEngine:
                on_token: Callable[[int], None] | None = None,
                prefix: int = -1) -> Request:
         total = len(prompt) + (self.prefixes[prefix][1] if prefix >= 0 else 0)
+        if self.bcfg.shared_prefix:
+            # slots hold only the suffix; the prefix lives in the pool
+            total = len(prompt)
         g = self.bcfg.lookup_gamma
         if g > 0:
             # the per-round gamma-window writes need gamma-1 rows of slack
@@ -480,17 +607,20 @@ class BatchedEngine:
 
         w = self.bcfg.repeat_last_n
         pending = []  # (chunk requests, device ids [n])
+        shared = self.bcfg.shared_prefix
         for (bucket, pfx), items in groups.items():
             pfx_cache, pfx_len, pfx_tokens = (
                 self.prefixes[pfx] if pfx >= 0 else (None, 0, [])
             )
             # suffix writes live at [pfx_len, pfx_len + bucket): clamp the
-            # padding so they cannot run past the slot region
-            bucket = min(bucket, self.bcfg.n_ctx - pfx_len)
-            # admission touches rows [0, pfx_len + bucket); bound every copy
-            # to the next power of two of that (64 floor keeps the flash
-            # kernel's K-block divisibility), independent of n_ctx
-            need = pfx_len + bucket
+            # padding so they cannot run past the slot region (shared mode:
+            # slots hold ONLY the suffix, so the whole region is available)
+            bucket = min(bucket, self.bcfg.n_ctx - (0 if shared else pfx_len))
+            # admission touches rows [0, pfx_len + bucket) — shared mode just
+            # [0, bucket); bound every copy to the next power of two of that
+            # (64 floor keeps the flash kernel's K-block divisibility),
+            # independent of n_ctx
+            need = bucket if shared else pfx_len + bucket
             scratch_len = 64
             while scratch_len < need:
                 scratch_len *= 2
@@ -523,6 +653,35 @@ class BatchedEngine:
                 # cache, prefill the (suffix) prompts, insert each row into
                 # its slot, sample the first tokens
                 rows = np.asarray([r.slot for r in chunk])
+                if shared:
+                    for req in chunk:
+                        self.pfx_len[req.slot] = pfx_len
+                        self.pfx_id[req.slot] = max(pfx, 0)
+                    self.cache, ids = self._admit_chunk_shared(
+                        self.params,
+                        self.cache,
+                        jnp.asarray(toks),
+                        jnp.int32(pfx_len),
+                        jnp.asarray(last_idx),
+                        jnp.asarray(rows.astype(np.int32)),
+                        jnp.asarray(seeds.astype(np.int32)),
+                        jnp.asarray(self.last_window[rows]),
+                        jnp.asarray(self.top_p[rows]),
+                        jnp.asarray(self.temp[rows]),
+                        jnp.asarray(self.penalty[rows]),
+                        self.pfx_k,
+                        self.pfx_v,
+                        jnp.int32(max(pfx, 0)),
+                        n=n,
+                        top_k=self.bcfg.top_k,
+                        scratch_len=scratch_len,
+                    )
+                    self.stats["prefills"] += n
+                    self.stats["prefill_calls"] = (
+                        self.stats.get("prefill_calls", 0) + 1
+                    )
+                    pending.append((chunk, ids))
+                    continue
                 self.cache, ids = self._admit_chunk(
                     self.params,
                     self.cache,
@@ -588,26 +747,47 @@ class BatchedEngine:
         # discard per-request overshoot below. A request that finishes
         # mid-block frees its slot; its extra KV writes sit beyond the slot's
         # n_past and are never attended.
-        room = self.bcfg.n_ctx - 1 - int(self.n_past.max())
+        shared = self.bcfg.shared_prefix
+        local = self.n_past - self.pfx_len if shared else self.n_past
+        room = self.bcfg.n_ctx - 1 - int(local.max())
         g = self.bcfg.lookup_gamma
         if g > 0:
             return self._step_lookup(room, g)
         n_steps = min(self.bcfg.block, max(1, room))
         n_steps = 1 << (n_steps.bit_length() - 1)  # snap down to a power of 2
         t0 = time.perf_counter()
-        toks, self.cache, last, self.keys = self._decode(
-            self.params,
-            self.cache,
-            jnp.asarray(self.cur_tok),
-            jnp.asarray(self.last_window),
-            self.keys,
-            jnp.asarray(self.n_past),
-            jnp.asarray(self.top_p),
-            jnp.asarray(self.temp),
-            jnp.asarray(self.penalty),
-            n_steps,
-            self.bcfg.top_k,
-        )
+        if shared:
+            toks, self.cache, last, self.keys = self._decode_shared(
+                self.params,
+                self.cache,
+                jnp.asarray(self.cur_tok),
+                jnp.asarray(self.last_window),
+                self.keys,
+                jnp.asarray(self.n_past),
+                jnp.asarray(self.top_p),
+                jnp.asarray(self.temp),
+                jnp.asarray(self.penalty),
+                self.pfx_k,
+                self.pfx_v,
+                jnp.asarray(self.pfx_id),
+                jnp.asarray(self.pfx_len),
+                n_steps,
+                self.bcfg.top_k,
+            )
+        else:
+            toks, self.cache, last, self.keys = self._decode(
+                self.params,
+                self.cache,
+                jnp.asarray(self.cur_tok),
+                jnp.asarray(self.last_window),
+                self.keys,
+                jnp.asarray(self.n_past),
+                jnp.asarray(self.top_p),
+                jnp.asarray(self.temp),
+                jnp.asarray(self.penalty),
+                n_steps,
+                self.bcfg.top_k,
+            )
         toks = np.asarray(toks)  # [B, n_steps]
         self.last_window = np.array(last)  # writable host copy
         self.stats["t_decode"] += time.perf_counter() - t0
@@ -632,6 +812,9 @@ class BatchedEngine:
                 finished.append(req)
                 self.slots[slot] = None
                 self.n_past[slot] = 0
+                if self.bcfg.shared_prefix:
+                    self.pfx_len[slot] = 0
+                    self.pfx_id[slot] = 0
         return finished
 
     def _step_lookup(self, room: int, g: int) -> list[Request]:
@@ -705,6 +888,9 @@ class BatchedEngine:
                 finished.append(req)
                 self.slots[slot] = None
                 self.n_past[slot] = 0
+                if self.bcfg.shared_prefix:
+                    self.pfx_len[slot] = 0
+                    self.pfx_id[slot] = 0
         return finished
 
     def run(self) -> list[Request]:

@@ -196,3 +196,68 @@ def test_lookup_batched_sampled_mixed(model):
         assert len(outs[i]) == 8
         assert all(0 <= t < cfg.n_vocab for t in outs[i])
     assert outs == run()  # seeded-deterministic end to end
+
+
+def test_shared_prefix_matches_full_prompt(model):
+    """shared_prefix: the pool-attended prefix must produce exactly the same
+    greedy streams as submitting prefix+suffix as one prompt; slots hold only
+    suffix rows (n_ctx budget independent of prefix length)."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30, 7, 11, 4]
+    suffixes = [[3, 1], [4, 4, 4], [8]]
+
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=3, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256),
+    )
+    pid = be.register_prefix(prefix)
+    reqs = [
+        be.submit(s, 6, GREEDY, ignore_eos=True, prefix=pid) for s in suffixes
+    ]
+    be.run()
+    assert be.stats["prefills"] == len(suffixes)
+    for r, s in zip(reqs, suffixes):
+        want = _single_stream(cfg, params, prefix + s, 6, n_ctx=128)
+        assert r.generated == want, (s, r.generated, want)
+
+
+def test_shared_prefix_mixed_with_plain_requests(model):
+    """Rows with and without a shared prefix coexist in one batch (plen=0
+    rows skip the pre-pass); two different pool entries in one batch."""
+    cfg, params, _ = model
+    p1 = [5, 9, 2, 30]
+    p2 = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=3, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256),
+    )
+    i1 = be.register_prefix(p1)
+    i2 = be.register_prefix(p2)
+    r1 = be.submit([8, 2], 5, GREEDY, ignore_eos=True, prefix=i1)
+    r2 = be.submit([7], 5, GREEDY, ignore_eos=True, prefix=i2)
+    r3 = be.submit([42, 17, 3], 5, GREEDY, ignore_eos=True)  # no prefix
+    be.run()
+    assert r1.generated == _single_stream(cfg, params, p1 + [8, 2], 5, n_ctx=128)
+    assert r2.generated == _single_stream(cfg, params, p2 + [7], 5, n_ctx=128)
+    assert r3.generated == _single_stream(cfg, params, [42, 17, 3], 5, n_ctx=128)
+
+
+def test_shared_prefix_slot_reuse(model):
+    """A freed slot's stale prefix binding must not leak into the next
+    occupant (more requests than slots, different prefixes)."""
+    cfg, params, _ = model
+    p1 = [5, 9, 2]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=1, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256),
+    )
+    i1 = be.register_prefix(p1)
+    r1 = be.submit([8], 4, GREEDY, ignore_eos=True, prefix=i1)
+    r2 = be.submit([8], 4, GREEDY, ignore_eos=True)  # NO prefix, same slot
+    be.run()
+    assert r1.generated == _single_stream(cfg, params, p1 + [8], 4, n_ctx=128)
+    assert r2.generated == _single_stream(cfg, params, [8], 4, n_ctx=128)
+    assert r1.generated != r2.generated  # sanity: the prefix mattered
