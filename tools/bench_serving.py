@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
     ap.add_argument("--lookup-gamma", type=int, default=0,
                     help="prompt-lookup speculation per decode round (0=off)")
+    ap.add_argument("--shared-prefix", action="store_true",
+                    help="all requests share a pool-resident system prompt "
+                    "(slots hold only suffixes)")
+    ap.add_argument("--prefix-len", type=int, default=128,
+                    help="shared system-prompt length (with --shared-prefix)")
     ap.add_argument("--greedy", action="store_true",
                     help="submit greedy requests (temp 0) instead of temp 0.8")
     args = ap.parse_args()
@@ -48,7 +53,9 @@ def main():
         cfg,
         params,
         BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block,
-                    kv_dtype=args.kv_dtype, lookup_gamma=args.lookup_gamma),
+                    kv_dtype=args.kv_dtype, lookup_gamma=args.lookup_gamma,
+                    shared_prefix=args.shared_prefix,
+                    prefix_ctx=max(256, -(-args.prefix_len // 256) * 256)),
     )
 
     rng = np.random.default_rng(0)
@@ -74,11 +81,17 @@ def main():
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
     eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0, prefill_calls=0)
 
+    pid = -1
+    if args.shared_prefix:
+        pid = eng.register_prefix(
+            rng.integers(10, cfg.n_vocab - 10, args.prefix_len).tolist()
+        )
+        log(f"registered shared {args.prefix_len}-token prefix (pool id {pid})")
     reqs = []
     load = make_load(args.requests)
     t0 = time.perf_counter()
     for prompt, plen, npred, i in load:
-        r = eng.submit(prompt, npred, sp=sp_load, seed=i)
+        r = eng.submit(prompt, npred, sp=sp_load, seed=i, prefix=pid)
         reqs.append((r, plen, npred))
     log(f"{args.requests} requests submitted; running scheduler ...")
     done = eng.run()

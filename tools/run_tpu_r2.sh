@@ -37,6 +37,9 @@ run lookup_round_g8 2400 python tools/bench_spec.py --lookup --gamma 8
 run serving_plain 3600 python tools/bench_serving.py --max-batch 32
 run serving_lookup 3600 python tools/bench_serving.py --max-batch 32 --lookup-gamma 4
 
+# 6. shared-prefix serving: pool-attended system prompt vs per-slot copies
+run serving_sharedpfx 3600 python tools/bench_serving.py --max-batch 32 --shared-prefix --prefix-len 128
+
 echo "=== summary ==="
 grep -h '"metric"' "$OUT"/*.out 2>/dev/null
 grep -h "roofline:" "$OUT"/*.err 2>/dev/null
