@@ -201,27 +201,47 @@ def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
         else:
             from ..runtime.speculative import LookupEngine, SpecConfig
 
-            spec = LookupEngine(
-                cfg, params,
-                SpecConfig(n_ctx=args.ctx_size, gamma=max(1, args.draft_n),
-                           kv_dtype=getattr(args, "kv_dtype", "bfloat16")),
+            g = max(1, args.draft_n)
+            scfg = SpecConfig(
+                n_ctx=args.ctx_size, gamma=g,
+                kv_dtype=getattr(args, "kv_dtype", "bfloat16"),
             )
-            out = spec.generate(
-                prompt_tokens, args.n_predict, ignore_eos=args.ignore_eos,
-                sp=sp if args.temp > 0 else None,
-                seed=args.seed if args.seed >= 0 else 0,
-            )
-            text = b"".join(tok.decode_token(t) for t in out)
-            stdout.write(text.decode("utf-8", errors="replace"))
-            stdout.write("\n")
-            print(
-                f"lookup-speculative: {spec.stats['emitted']} tokens in "
-                f"{spec.stats['rounds']} rounds "
-                f"({spec.stats['emitted'] / max(spec.stats['rounds'], 1):.2f} "
-                "tok/round)",
-                file=sys.stderr,
-            )
-            return 0
+            # no context shift in the speculative engines: clamp the budget
+            # to what fits (plain decode keeps ContextManager's shift)
+            headroom = scfg.rounds_per_block * g + g + 1
+            budget = args.ctx_size - len(prompt_tokens) - headroom
+            if budget < 1:
+                print(
+                    "warning: prompt leaves no room for --draft-lookup "
+                    "decoding; falling back to plain decode",
+                    file=sys.stderr,
+                )
+                args.draft_lookup = False
+            else:
+                if budget < args.n_predict:
+                    print(
+                        f"warning: --draft-lookup clamps -n to {budget} "
+                        "(no context shift in speculative mode)",
+                        file=sys.stderr,
+                    )
+                spec = LookupEngine(cfg, params, scfg)
+                out = spec.generate(
+                    prompt_tokens, min(args.n_predict, budget),
+                    ignore_eos=args.ignore_eos,
+                    sp=sp if args.temp > 0 else None,
+                    seed=args.seed if args.seed >= 0 else 0,
+                )
+                text = b"".join(tok.decode_token(t) for t in out)
+                stdout.write(text.decode("utf-8", errors="replace"))
+                stdout.write("\n")
+                print(
+                    f"lookup-speculative: {spec.stats['emitted']} tokens in "
+                    f"{spec.stats['rounds']} rounds "
+                    f"({spec.stats['emitted'] / max(spec.stats['rounds'], 1):.2f} "
+                    "tok/round)",
+                    file=sys.stderr,
+                )
+                return 0
 
     draft = getattr(args, "draft_model", None)
     if draft:

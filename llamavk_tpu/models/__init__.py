@@ -7,6 +7,7 @@ from .llama import (
     embed_tokens,
     llama_forward,
     init_kv_cache,
+    init_paged_kv_cache,
     KVCache,
 )
 from .loader import (

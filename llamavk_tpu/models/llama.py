@@ -182,6 +182,23 @@ def init_kv_cache(
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), **extra)
 
 
+def init_paged_kv_cache(
+    cfg: ModelConfig, n_pages: int, page_size: int,
+    n_head_local: int | None = None,
+) -> KVCache:
+    """Paged KV pool [L, NP, H, PS, D]: fixed-size pages shared by every
+    request slot, addressed through per-row block tables (runtime/paged.py;
+    pass `page_table` to llama_forward). bf16 only (v1). Page size must be a
+    multiple of 8 (the bf16 RMW window alignment) and of every admission
+    chunk size it must contain — powers of two >= 64 are the natural
+    choice."""
+    h = cfg.n_head if n_head_local is None else n_head_local
+    assert page_size % 8 == 0
+    shape = (cfg.n_layer, n_pages, h, page_size, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, jnp.bfloat16),
+                   v=jnp.zeros(shape, jnp.bfloat16))
+
+
 def ring_phys(pos: jax.Array, n_keep: int, s: int) -> jax.Array:
     """Logical position → physical ring row: the first fill is the identity;
     past the end, rows [n_keep, s) recycle (the first n_keep rows — attention
@@ -307,6 +324,17 @@ def llama_forward(
     # the C reference's scalar numerics (f16/q4_0 activation rounding per
     # matmul, f16-table silu/exp, 1/sqrt rms_norm — models/ggml_numerics.py).
     # Requires dense (dequantized) weights, attn_impl="einsum", dtype=f32.
+    page_table: jax.Array | None = None,  # [B, MAXLB] int32: the cache is a
+    # PAGE POOL [L, NP, H, PS, D] and row b's logical block j lives in page
+    # page_table[b, j] (block-table paged KV, the general form of the
+    # reference's historyIndex indirection, vulkan/llama-vk.cpp:984-987;
+    # runtime/paged.py manages the tables). Caller invariant: every t-block
+    # write [n_past+t0, +bt) stays within one page (power-of-two chunking).
+    kv_block: int = 0,  # cap the flash kernels' KV block (0 = fitted
+    # default). Pins the online-softmax accumulation order — a flat cache at
+    # kv_block=c sums exactly like a paged pool with page_size=c (see
+    # ops/flash_attn._fit_block_k). Explicit argument, NOT an env read: env
+    # reads at trace time poison JAX's same-code-closure jit cache.
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 
@@ -368,6 +396,17 @@ def llama_forward(
     vector_past = n_past.ndim == 1  # per-row positions (continuous batching)
     positions = (n_past[:, None] if vector_past else n_past) + jnp.arange(t)
     cos, sin = rope_cos_sin(positions, cfg.n_rot, cfg.rope_theta)  # [(B,) T, D/2]
+
+    paged = page_table is not None
+    if paged:
+        assert cache.pos is None and not cache.quantized, (
+            "paged KV: bf16 non-ring pools only (v1)"
+        )
+        assert prefix_kv is None, "paged KV and prefix pool are exclusive"
+        assert pp_axis is None and tp_axis is None, (
+            "paged KV: single-replica forward only (v1)"
+        )
+        assert attn_impl in ("auto", "flash"), "paged KV is flash-only"
 
     prefix = prefix_kv is not None
     if prefix:
@@ -463,6 +502,11 @@ def llama_forward(
                 "shared-prefix attention requires the flash path "
                 f"(impl={impl}, head_dim={d})"
             )
+        if paged and not (impl == "flash" and t % min(256, t) == 0):
+            raise ValueError(
+                "paged KV requires the fused flash path "
+                f"(impl={impl}, t={t}, head_dim={d})"
+            )
         wrow = wstart_l if ring else None
         if impl == "flash" and t % min(256, t) == 0:
             if quantized_kv:
@@ -473,15 +517,24 @@ def llama_forward(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
                     batch_offset=boff_l, ring_bounded=True,
+                    block_k=kv_block or 256,
                 )
             else:
                 attn, ck, cv = flash_attention_update(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     kv_pos=new_pos, write_row=wrow, batch_offset=boff_l,
-                    ring_bounded=True,
+                    ring_bounded=True, block_k=kv_block or 256,
                     prefix_k=prefix_kv[0] if prefix else None,
                     prefix_v=prefix_kv[1] if prefix else None,
                     prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
+                    # paged: cap the query block at the page size so a write
+                    # block never straddles a page (page-aligned n_past +
+                    # power-of-two chunking keep each block in one page)
+                    **(
+                        {"page_table": page_table,
+                         "block_t": min(256, ck.shape[3])}
+                        if paged else {}
+                    ),
                 )
         else:
             if quantized_kv:
@@ -535,7 +588,7 @@ def llama_forward(
                 attn = flash_attention(
                     q, ck, cv, npast_l, layer_idx=l,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos,
-                    batch_offset=boff_l,
+                    batch_offset=boff_l, block_k=kv_block or 256,
                     prefix_k=prefix_kv[0] if prefix else None,
                     prefix_v=prefix_kv[1] if prefix else None,
                     prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,

@@ -25,6 +25,7 @@ Requires S % block_k == 0 and n_past + T <= S (caller invariant).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +37,31 @@ from .pallas_backend import interpret_mode
 _NEG = -1e30
 
 
+# Import-time tuning default for the KV block cap (like q4_matmul._ENV_BN).
+# MUST be read at import, never at trace time: JAX's jit cache dedupes
+# same-code closures by their captured VALUES, so a hidden trace-time env
+# read poisons later same-shaped traces in the process with whatever value
+# was live first (observed: a fresh engine reusing another engine's kernels
+# compiled under a different cap). Per-call variation goes through the
+# explicit block_k / llama_forward(kv_block=...) arguments instead.
+_ENV_BK = int(os.environ.get("LLAMAVK_KV_BLOCK", "0"))
+
+
 def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
     """Largest KV block <= block_k that divides s (8-row aligned; 32 for int8
     caches, whose Mosaic tile is (32, 128)); arbitrary n_ctx values work
-    instead of asserting on non-multiples of 256."""
+    instead of asserting on non-multiples of 256.
+
+    A block cap (LLAMAVK_KV_BLOCK at import, or kv_block through
+    llama_forward) also pins the online-softmax ACCUMULATION ORDER: a flat
+    cache at cap c and a paged pool with page_size c partition the KV
+    identically, so their streams are bit-comparable (tests/test_paged.py
+    exploits this for exact sampled-stream equality — without the cap the
+    flat kernel fits its block to n_ctx, a different f32 summation order,
+    and seeded categorical draws near a probability boundary can
+    legitimately flip)."""
+    if _ENV_BK > 0:
+        block_k = min(block_k, _ENV_BK)
     bk = min(block_k, s)
     while bk > step and s % bk:
         bk -= step
@@ -70,8 +92,9 @@ def attention_ref(q, k, v, n_past):
 
 
 def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
+                   paged: bool = False,
                    block_t: int, block_k: int, scale: float,
-                   ring_bounded: bool = False):
+                   ring_bounded: bool = False, pblock_k: int = 0):
     """Fused cache-write + attention: merge this program's new K/V rows into
     the aliased cache, then attend over the updated cache — the design of the
     reference's attention shader, which also writes K,V to its cache slot
@@ -100,6 +123,7 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
     idx_ref, npast_ref, wrow_ref, commit_ref, boff_ref = (
         next(it), next(it), next(it), next(it), next(it)
     )
+    ptab_ref = next(it) if paged else None
     pid_ref = next(it) if prefix else None
     plen_ref = next(it) if prefix else None
     q_ref, knew_ref, vnew_ref = next(it), next(it), next(it)
@@ -138,9 +162,22 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
     start = wrow_ref[b] + t0  # physical write row (== logical when not ring)
     step = 32 if quantized else 8
 
-    win0 = jnp.minimum((start // step) * step, s_total - w)
-    win0 = pl.multiple_of(win0, step)
-    off = start - win0  # in [0, step); larger only when clamped at the end
+    if paged:
+        # block-table indirection: the logical write row `start` lives in
+        # page ptab[b, start // PS] at in-page offset start % PS. The RMW
+        # window stays inside that one page (caller invariant: power-of-two
+        # admission chunking means a t-block never straddles a page).
+        ps = s_total  # cache memref is the page pool [L, NP, H, PS, D]
+        pidx = start // ps
+        page = ptab_ref[babs, pidx]
+        inpage = start - pidx * ps
+        win0 = jnp.minimum((inpage // step) * step, ps - w)
+        win0 = pl.multiple_of(win0, step)
+        off = inpage - win0
+    else:
+        win0 = jnp.minimum((start // step) * step, s_total - w)
+        win0 = pl.multiple_of(win0, step)
+        off = start - win0  # in [0, step); larger only when clamped at the end
 
     if quantized:
         # quantize the new rows (VPU): [HG, BT, D] -> int8 + scale [HG, BT]
@@ -157,7 +194,8 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
         v_rows = vnew_ref[0]
 
     def data_at(src):
-        return src.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(win0, w), :]
+        row = page if paged else babs
+        return src.at[layer, row, pl.ds(hb * hg, hg), pl.ds(win0, w), :]
 
     kr = pltpu.make_async_copy(data_at(k_out), kwin, wsems.at[0])
     vr = pltpu.make_async_copy(data_at(v_out), vwin, wsems.at[1])
@@ -243,17 +281,20 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
             babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
-            plen_ref=plen_ref, block_t=block_t, block_k=block_k, scale=scale,
-            ring_bounded=ring_bounded)
+            plen_ref=plen_ref, ptab_ref=ptab_ref,
+            block_t=block_t, block_k=block_k, scale=scale,
+            ring_bounded=ring_bounded, pblock_k=pblock_k)
 
 
 def _read_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
+                 paged: bool = False,
                  block_t: int, block_k: int, scale: float,
-                 ring_bounded: bool = False):
+                 ring_bounded: bool = False, pblock_k: int = 0):
     """Generic read-path entry: unpacks the (quantized x ring x prefix)-
     dependent positional ref list Pallas passes and routes to _attend."""
     it = iter(args)
     idx_ref, npast_ref, boff_ref = next(it), next(it), next(it)
+    ptab_ref = next(it) if paged else None
     pid_ref = next(it) if prefix else None
     plen_ref = next(it) if prefix else None
     q_ref, k_hbm, v_hbm = next(it), next(it), next(it)
@@ -274,16 +315,18 @@ def _read_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
             babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
-            plen_ref=plen_ref, block_t=block_t, block_k=block_k, scale=scale,
-            ring_bounded=ring_bounded)
+            plen_ref=plen_ref, ptab_ref=ptab_ref,
+            block_t=block_t, block_k=block_k, scale=scale,
+            ring_bounded=ring_bounded, pblock_k=pblock_k)
 
 
 def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
             pos_hbm=None, posbuf=None, psems=None, babs=None,
-            pk_hbm=None, pv_hbm=None, pid_ref=None, plen_ref=None, *,
+            pk_hbm=None, pv_hbm=None, pid_ref=None, plen_ref=None,
+            ptab_ref=None, *,
             block_t: int, block_k: int, scale: float,
-            ring_bounded: bool = False):
+            ring_bounded: bool = False, pblock_k: int = 0):
     """One program: HG heads x BT queries against the ragged cache prefix.
 
     HG > 1 (decode) makes each DMA HG x (BK x D) — per-program DMA startup
@@ -317,7 +360,8 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
     # otherwise push the DMA bound past the last cache row (OOB read).
     # Ring mode (pos_hbm given): rows live anywhere in the ring — scan all of
     # it; validity comes from the per-row logical positions, not the bound.
-    s_total = k_hbm.shape[3]
+    paged = ptab_ref is not None
+    s_total = k_hbm.shape[3]  # per-PAGE rows when paged (pool [L,NP,H,PS,D])
     if ring and not ring_bounded:
         nblocks = s_total // block_k
     else:
@@ -325,21 +369,31 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         # (engine-produced rings) — rows past min(npast+t, S) then hold
         # either empty or future positions, both masked; pre-wrap this
         # recovers the full ragged-prefix saving
-        limit = jnp.minimum(npast + t0 + bt, s_total)
+        cap = ptab_ref.shape[1] * s_total if paged else s_total
+        limit = jnp.minimum(npast + t0 + bt, cap)
         nblocks = pl.cdiv(limit, block_k)
+    # paged: logical kv block i lives in page ptab[b, i // bpp] at in-page
+    # block i % bpp (block_k divides PS — _fit_block_k on the pool's page
+    # rows). The block-table generalization of the reference's historyIndex
+    # indirection (vulkan/llama-vk.cpp:984-987).
+    bpp = (s_total // block_k) if paged else 1
+
+    def kv_src(hbm, i):
+        if paged:
+            return hbm.at[layer, ptab_ref[babs, i // bpp],
+                          pl.ds(hb * hg, hg),
+                          pl.ds((i % bpp) * block_k, block_k), :]
+        return hbm.at[layer, babs, pl.ds(hb * hg, hg),
+                      pl.ds(i * block_k, block_k), :]
 
     def k_dma(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
-            kbuf.at[slot],
-            sems.at[0, slot],
+            kv_src(k_hbm, i), kbuf.at[slot], sems.at[0, slot],
         )
 
     def v_dma(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[layer, babs, pl.ds(hb * hg, hg), pl.ds(i * block_k, block_k), :],
-            vbuf.at[slot],
-            sems.at[1, slot],
+            kv_src(v_hbm, i), vbuf.at[slot], sems.at[1, slot],
         )
 
     def scale_dmas(slot, i):
@@ -391,20 +445,24 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         # indirection, vulkan/llama-vk.cpp:984-987).
         pid = pid_ref[b]
         plen = plen_ref[b]
-        pnblocks = pl.cdiv(plen, block_k)
+        # the prefix pass uses its own block size (a divisor of the pool
+        # length, <= block_k so the blocks fit the shared scratch buffers —
+        # the slot cache's block need not divide the pool length)
+        pbk = pblock_k or block_k
+        pnblocks = pl.cdiv(plen, pbk)
 
         def pk_dma(slot, i):
             return pltpu.make_async_copy(
                 pk_hbm.at[layer, pid, pl.ds(hb * hg, hg),
-                          pl.ds(i * block_k, block_k), :],
-                kbuf.at[slot], sems.at[0, slot],
+                          pl.ds(i * pbk, pbk), :],
+                kbuf.at[slot, :, 0:pbk], sems.at[0, slot],
             )
 
         def pv_dma(slot, i):
             return pltpu.make_async_copy(
                 pv_hbm.at[layer, pid, pl.ds(hb * hg, hg),
-                          pl.ds(i * block_k, block_k), :],
-                vbuf.at[slot], sems.at[1, slot],
+                          pl.ds(i * pbk, pbk), :],
+                vbuf.at[slot, :, 0:pbk], sems.at[1, slot],
             )
 
         @pl.when(pnblocks > 0)
@@ -423,21 +481,21 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
 
             pk_dma(slot, i).wait()
             pv_dma(slot, i).wait()
-            kk = kbuf[slot]
+            kk = kbuf[slot][:, 0:pbk]
             s = jax.lax.dot_general(
                 q.astype(kk.dtype), kk,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # [HG, BT, BK]
-            col = i * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (1, bt, block_k), 2
+            )  # [HG, BT, PBK]
+            col = i * pbk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bt, pbk), 2
             )
             s = jnp.where(col < plen, s, _NEG)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            vv = vbuf[slot]
+            vv = vbuf[slot][:, 0:pbk]
             pv = jax.lax.dot_general(
                 p.astype(vv.dtype), vv,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -558,6 +616,9 @@ def flash_attention(
     prefix_v: jax.Array | None = None,
     prefix_id: jax.Array | None = None,  # [B] int32 pool entry per row
     prefix_len: jax.Array | None = None,  # [B] int32 valid prefix rows
+    page_table: jax.Array | None = None,  # [B, MAXLB] int32: k/v are then a
+    # PAGE POOL [(L,) NP, H, PS, D] and row b's logical block j lives in page
+    # page_table[b, j] (block-table paged KV; runtime/paged.py)
 ) -> jax.Array:
     """layer_idx: read layer `layer_idx` of a stacked KV cache directly (the
     DMA slices [l, b, h, ...] from HBM) — avoids the whole-layer cache copy a
@@ -574,8 +635,13 @@ def flash_attention(
     quantized = k_scale is not None
     ring = kv_pos is not None
     prefix = prefix_k is not None
+    paged = page_table is not None
     assert not (prefix and (quantized or ring)), (
         "shared-prefix attention: bf16 non-ring caches only (v1)"
+    )
+    assert not (paged and (quantized or ring or prefix)), (
+        "paged KV: bf16 non-ring caches, no prefix-pool pre-pass (v1 — "
+        "prefix sharing happens through the block table instead)"
     )
     if layer_idx is None:
         k = k[None]
@@ -590,12 +656,10 @@ def flash_attention(
     b, t, h, d = q.shape
     s = k.shape[3]
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
+    pbk = 0
     if prefix:
         assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
-        assert prefix_k.shape[3] % bk == 0, (
-            f"prefix pool length {prefix_k.shape[3]} must be a multiple of "
-            f"the kv block {bk}"
-        )
+        pbk = _fit_block_k(min(bk, prefix_k.shape[3]), prefix_k.shape[3])
     bt = min(block_t, t)
     tpad = -(-t // bt) * bt
     if tpad != t:
@@ -625,8 +689,8 @@ def flash_attention(
     grid = (b, h // hg, tpad // bt)
     kernel = functools.partial(
         _read_kernel, quantized=quantized, ring=ring, prefix=prefix,
-        block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
-        ring_bounded=ring_bounded,
+        paged=paged, block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+        ring_bounded=ring_bounded, pblock_k=pbk,
     )
     extra_in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (
         2 * quantized + ring
@@ -665,10 +729,13 @@ def flash_attention(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         extra_args += [kv_pos]
+    paged_scalars = (
+        [jnp.asarray(page_table, jnp.int32)] if paged else []
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3 + 2 * prefix,
+            num_scalar_prefetch=3 + paged + 2 * prefix,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -698,7 +765,8 @@ def flash_attention(
         interpret=interpret_mode(),
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1), npast_vec,
-        jnp.asarray(batch_offset, jnp.int32).reshape(1), *prefix_scalars,
+        jnp.asarray(batch_offset, jnp.int32).reshape(1), *paged_scalars,
+        *prefix_scalars,
         qt, k, v, *prefix_args, *extra_args,
     )
     return out.transpose(0, 2, 1, 3)[:, :t]
@@ -730,6 +798,10 @@ def flash_attention_update(
     prefix_v: jax.Array | None = None,
     prefix_id: jax.Array | None = None,  # [B] int32 pool entry per row
     prefix_len: jax.Array | None = None,  # [B] int32 valid prefix rows
+    page_table: jax.Array | None = None,  # [B, MAXLB] int32: k/v are then a
+    # PAGE POOL [L, NP, H, PS, D]; writes and reads address logical block j
+    # of row b through page_table[b, j]. Caller invariant: every t-block
+    # write [n_past+t0, +bt) stays within one page (power-of-two chunking).
 ):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
@@ -747,18 +819,20 @@ def flash_attention_update(
     quantized = k_scale is not None
     ring = kv_pos is not None
     prefix = prefix_k is not None
+    paged = page_table is not None
     assert not (prefix and (quantized or ring)), (
         "shared-prefix attention: bf16 non-ring caches only (v1)"
+    )
+    assert not (paged and (quantized or ring or prefix)), (
+        "paged KV: bf16 non-ring caches, no prefix-pool pre-pass (v1)"
     )
     b, t, h, d = q.shape
     s = k.shape[3]
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
+    pbk = 0
     if prefix:
         assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
-        assert prefix_k.shape[3] % bk == 0, (
-            f"prefix pool length {prefix_k.shape[3]} must be a multiple of "
-            f"the kv block {bk}"
-        )
+        pbk = _fit_block_k(min(bk, prefix_k.shape[3]), prefix_k.shape[3])
     bt = min(block_t, t)
     assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
     step = 32 if quantized else 8
@@ -795,14 +869,15 @@ def flash_attention_update(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(
         _update_kernel, quantized=quantized, ring=ring, prefix=prefix,
-        block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
-        ring_bounded=ring_bounded,
+        paged=paged, block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+        ring_bounded=ring_bounded, pblock_k=pbk,
     )
     # operand assembly (must mirror _update_kernel's unpacking order):
-    # scalars: layer_idx, npast, wrow, commit, batch_offset, [pid, plen]
+    # scalars: layer_idx, npast, wrow, commit, batch_offset, [page_table],
+    #          [pid, plen]
     # inputs:  q, k_new, v_new, k, v, [pk, pv], [k_scale, v_scale], [kv_pos]
     # outputs: o, k, v, [k_scale, v_scale]
-    n_scalars = 5 + 2 * prefix
+    n_scalars = 5 + paged + 2 * prefix
     in_specs = [blk, blk, blk, any_spec, any_spec]
     out_specs = [blk, any_spec, any_spec]
     out_shape = [
@@ -891,6 +966,7 @@ def flash_attention_update(
         wrow_vec,
         jnp.asarray(commit, jnp.int32).reshape(1),
         jnp.asarray(batch_offset, jnp.int32).reshape(1),
+        *([jnp.asarray(page_table, jnp.int32)] if paged else []),
         *(
             [
                 jnp.broadcast_to(jnp.asarray(prefix_id, jnp.int32), (b,)),

@@ -327,18 +327,22 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 _I8_MAX_B = 64
 
 
-def _fit_bn_i8(bn: int, half: int, gc: int, bp: int) -> int:
-    """Shrink the N tile until the int8 kernel's VMEM working set fits."""
-    def need(bn_):
-        packed = half * bn_
-        w = 2 * half * bn_  # unpacked nibble planes, int8
-        d = gc * bp * bn_ * 4  # group-dot accumulator, int32
-        s = gc * bn_ * 4
-        out = bp * bn_ * 4
-        return packed + w + d + s + out
+def _i8_vmem_need(bn: int, half: int, gc: int, bp: int) -> int:
+    packed = half * bn
+    w = 2 * half * bn  # unpacked nibble planes, int8
+    d = gc * bp * bn * 8  # group-dot accumulator int32 + its f32 convert
+    s = gc * bn * 4
+    out = bp * bn * 4
+    return packed + w + d + s + out
 
-    while bn > 128 and need(bn) > _VMEM_BUDGET:
+
+def _fit_bn_i8(bn: int, half: int, gc: int, bp: int) -> int:
+    """Shrink the N tile until the int8 kernel's VMEM working set fits;
+    returns 0 when even bn=128 does not fit (caller falls back to bf16)."""
+    while bn > 128 and _i8_vmem_need(bn, half, gc, bp) > _VMEM_BUDGET:
         bn //= 2
+    if _i8_vmem_need(bn, half, gc, bp) > _VMEM_BUDGET:
+        return 0
     return bn
 
 
@@ -355,6 +359,9 @@ def _q4_matmul_i8(xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead):
     xq, sx = quantize_act_blocks(xf)  # [QK, G, BP] int8, [G, BP] f32
 
     bn = _fit_bn_i8(min(_ENV_BN, _round_up(n, 128)), half, gc, bp)
+    if bn == 0:
+        return None  # working set too large even at bn=128 (big K x big B):
+        # caller falls back to the bf16 path
     bn_div = bn
     while bn_div >= 128 and (n % bn_div or bn_div % 128):
         bn_div -= 128
@@ -455,6 +462,13 @@ def q4_matmul(
         and qw.bias is None
         and qw.layout == LAYOUT_ILV
         and b <= _I8_MAX_B
+        # VMEM pre-check at the gate: when the int8 working set cannot fit
+        # (big K x batch near the cap), fall through to the NORMAL paths —
+        # crucially keeping `stacked` so the bf16 stacked streaming stays
+        and _fit_bn_i8(
+            min(_ENV_BN, _round_up(n, 128)),
+            (k // chunks) // 2, g // chunks, _round_up(max(b, 8), 8),
+        ) > 0
     ):
         y = _q4_matmul_i8(
             xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead

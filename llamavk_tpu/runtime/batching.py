@@ -27,8 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import (
-    KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward,
+    KVCache, LlamaParams, ModelConfig, init_kv_cache, init_paged_kv_cache,
+    llama_forward,
 )
+from .speculative import assemble_emitted, first_reject, lookup_draft_batched
 from .sampling import SamplerParams, probs_batched_dyn, sample_tokens_batched
 
 
@@ -75,6 +77,23 @@ class BatchConfig:
     # Greedy rows emit exactly the plain greedy stream; sampled rows are
     # exactly target-distributed (deterministic-proposal rejection, repeat
     # penalty folded in per verify position).
+    paged: bool = False  # block-table paged KV (runtime/paged.py): K/V live
+    # in a shared pool of `n_pages` pages of `page_size` rows; slots map
+    # logical blocks through per-slot tables. KV memory = pages IN USE (not
+    # max_batch x n_ctx), admission prefills straight into the slot's pages
+    # (no scratch cache, no insert copies), prefix pages are shared
+    # read-only across slots, and a full pool preempts the youngest request
+    # (recompute on re-admission) instead of failing. bf16 KV only (v1);
+    # excludes shared_prefix (the block table IS the sharing mechanism) and
+    # lookup_gamma (multi-token verify windows can straddle pages).
+    page_size: int = 64  # pool page rows (power of two; n_ctx % page_size == 0)
+    n_pages: int = 0  # pool pages; 0 -> max_batch * n_ctx / page_size + 1
+    # (the flat footprint — size it SMALLER to oversubscribe slots, which is
+    # the point: long-context slots and short ones share one budget)
+    kv_block: int = 0  # cap the flash kernels' KV block (0 = fitted
+    # default); pins the online-softmax accumulation order — a flat engine
+    # at kv_block=c sums exactly like a paged engine with page_size=c, which
+    # tests/test_paged.py uses for exact stream comparisons
 
 
 class BatchedEngine:
@@ -85,7 +104,33 @@ class BatchedEngine:
         self.params = params
         self.bcfg = bcfg
         b, w = bcfg.max_batch, bcfg.repeat_last_n
-        self.cache = init_kv_cache(cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype))
+        if bcfg.paged:
+            from .paged import PageAllocator, SlotPages
+
+            ps = bcfg.page_size
+            assert ps >= 8 and (ps & (ps - 1)) == 0, "page_size: power of two"
+            assert bcfg.n_ctx % ps == 0, "n_ctx must be a multiple of page_size"
+            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
+                "paged KV: bf16 only (v1)"
+            )
+            assert not bcfg.shared_prefix and bcfg.lookup_gamma == 0, (
+                "paged KV excludes shared_prefix/lookup_gamma (v1)"
+            )
+            n_pages = bcfg.n_pages or (b * bcfg.n_ctx // ps + 1)
+            self.cache = init_paged_kv_cache(cfg, n_pages, ps)
+            alloc = PageAllocator(n_pages)
+            # page 0 is the TRASH page: freed slots keep decoding garbage
+            # until the block ends, and their zeroed table rows must point
+            # at memory no live request owns
+            trash = alloc.alloc(1)
+            assert trash == [0]
+            self.pager = SlotPages(b, bcfg.n_ctx // ps, alloc)
+            self._table_dev = jnp.asarray(self.pager.table)
+            self.pager.dirty = False
+        else:
+            self.cache = init_kv_cache(
+                cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype)
+            )
         self.n_past = np.zeros(b, np.int32)
         self.cur_tok = np.zeros(b, np.int32)
         self.last_window = np.full((b, w), -1, np.int32)
@@ -104,6 +149,9 @@ class BatchedEngine:
         }
 
         cfg_ = cfg
+        # captured as a plain int: equal values keep the jit cache shared
+        # across engine instances (see ops/flash_attn._ENV_BK note)
+        kvb = bcfg.kv_block
 
         @jax.jit
         def _prefill(params, tokens, cacheN, n_past, last_idx):
@@ -111,7 +159,7 @@ class BatchedEngine:
             # program; per-row true final positions via vector last_idx.
             # n_past > 0 continues a seeded shared prefix (prefix caching).
             logits, cacheN, _ = llama_forward(
-                params, tokens, cacheN, n_past, cfg_, last_idx=last_idx
+                params, tokens, cacheN, n_past, cfg_, kv_block=kvb, last_idx=last_idx
             )
             return logits[:, 0, :], cacheN  # [N, V]
 
@@ -143,7 +191,8 @@ class BatchedEngine:
             def body(state, _):
                 toks, cache, last, keys, n_past = state
                 logits, cache, _ = llama_forward(
-                    params, toks[:, None], cache, n_past, cfg_
+                    params, toks[:, None], cache, n_past, cfg_,
+                    kv_block=kvb,
                 )
                 keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
                 subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
@@ -159,6 +208,57 @@ class BatchedEngine:
             )
             return out.T, cache, last, keys  # out: [B, n_steps]
 
+        @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
+        def _decode_paged(params, cache, table, toks0, last, keys, n_past,
+                          top_p, temp, penalty, n_steps, top_k):
+            # plain decode block through the block table (the pool cache is
+            # donated across blocks exactly like the flat slab; the table is
+            # a tiny per-block operand — value changes never recompile)
+            def body(state, _):
+                toks, cache, last, keys, n_past = state
+                logits, cache, _ = llama_forward(
+                    params, toks[:, None], cache, n_past, cfg_,
+                    kv_block=kvb, page_table=table,
+                )
+                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                nxt = sample_tokens_batched(
+                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
+                )
+                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                return (nxt, cache, last, keys2, n_past + 1), nxt
+
+            state = (toks0, cache, last, keys, n_past)
+            (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                body, state, None, length=n_steps
+            )
+            return out.T, cache, last, keys
+
+        @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
+        def _admit_chunk_paged(params, cache, toks, n_past0, last_idx,
+                               seeds, last_windows, top_p, temp, penalty,
+                               table, n, top_k):
+            # paged admission: prefill straight into the slots' own pages
+            # through the chunk's table rows — NO scratch cache, NO per-row
+            # insert copies (admission HBM traffic = the prompt KV itself).
+            # n_past0 is page-aligned (prefix full pages; remainder tokens
+            # ride prepended to the suffix), so every write block stays
+            # within one page.
+            npv = jnp.full((n,), n_past0, jnp.int32)
+            logits, cache, _ = llama_forward(
+                params, toks, cache, npv, cfg_, kv_block=kvb, last_idx=last_idx,
+                page_table=table,
+            )
+            subs = jax.vmap(jax.random.key)(seeds + 1)
+            ids = sample_tokens_batched(
+                logits[:, 0, :], last_windows, subs, top_k, top_p, temp,
+                penalty,
+            )
+            return cache, ids
+
+        self._decode_paged = _decode_paged
+        self._admit_chunk_paged = _admit_chunk_paged
+
         @partial(
             jax.jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
         )
@@ -167,54 +267,23 @@ class BatchedEngine:
             # continuation of the most recent (prev, tok) 2-gram occurrence
             # in that row's context, verify all gamma positions in one
             # multi-token forward (vector n_past), accept the agreeing
-            # prefix. See runtime/speculative.py::make_lookup_decode_block.
-            s_ctx = ctx.shape[1]
-            idx = jnp.arange(s_ctx, dtype=jnp.int32)[None]  # [1, S]
-
+            # prefix. Matcher/assembly shared with runtime/speculative.py.
             def body(state, _):
                 toks, cache, ctx, n_past = state
-                prev = jnp.take_along_axis(
-                    ctx, jnp.maximum(n_past - 1, 0)[:, None], 1
-                )[:, 0]
-                shifted = jnp.roll(ctx, 1, axis=1)
-                match = (
-                    (idx >= 1)
-                    & (idx <= (n_past - gamma)[:, None])
-                    & (ctx == toks[:, None])
-                    & (shifted == prev[:, None])
-                )
-                p = jnp.max(jnp.where(match, idx, -1), axis=1)  # [B]
-                draft = jax.vmap(
-                    lambda c, pp: jax.lax.dynamic_slice(
-                        c, (jnp.maximum(pp, 0) + 1,), (gamma - 1,)
-                    )
-                )(ctx, p)
-                draft = jnp.where((p >= 0)[:, None], draft, jnp.int32(-1))
-                seq = jnp.concatenate([toks[:, None], draft], axis=1)
+                seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
                 logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, logits_all=True
+                    params, seq, cache, n_past, cfg_, kv_block=kvb, logits_all=True
                 )
                 y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
-                agree = draft == y[:, : gamma - 1]
-                k = jnp.argmin(
-                    jnp.concatenate(
-                        [agree, jnp.zeros((agree.shape[0], 1), bool)], axis=1
-                    ),
-                    axis=1,
-                ).astype(jnp.int32)
-                draft_pad = jnp.concatenate(
-                    [draft, jnp.zeros((draft.shape[0], 1), jnp.int32)], axis=1
-                )
+                k = first_reject(draft == y[:, : gamma - 1])
                 corr = jnp.take_along_axis(
                     y, jnp.minimum(k, gamma - 1)[:, None], 1
-                )  # [B, 1]
-                emitted = jnp.where(jnp.arange(gamma)[None] < k[:, None],
-                                    draft_pad, corr)
-                count = k + 1
+                )[:, 0]
+                emitted, count = assemble_emitted(k, draft, corr, gamma)
                 ctx = jax.vmap(
                     lambda c, s, np_: jax.lax.dynamic_update_slice(c, s, (np_,))
                 )(ctx, seq, n_past)
-                return (corr[:, 0], cache, ctx, n_past + count), (emitted, count)
+                return (corr, cache, ctx, n_past + count), (emitted, count)
 
             state = (toks0, cache, ctx, n_past)
             (toks, cache, ctx, n_past), (em, cnt) = jax.lax.scan(
@@ -237,33 +306,14 @@ class BatchedEngine:
             # The repeat-penalty window for position i depends only on the
             # KNOWN consumed inputs seq[:, :i+1], so penalty folds in
             # per-position with static window shifts.
-            s_ctx = ctx.shape[1]
-            idx = jnp.arange(s_ctx, dtype=jnp.int32)[None]
             w = last.shape[1]
             nb = toks0.shape[0]
 
             def body(state, _):
                 toks, cache, ctx, last, keys, n_past = state
-                prev = jnp.take_along_axis(
-                    ctx, jnp.maximum(n_past - 1, 0)[:, None], 1
-                )[:, 0]
-                shifted = jnp.roll(ctx, 1, axis=1)
-                match = (
-                    (idx >= 1)
-                    & (idx <= (n_past - gamma)[:, None])
-                    & (ctx == toks[:, None])
-                    & (shifted == prev[:, None])
-                )
-                p = jnp.max(jnp.where(match, idx, -1), axis=1)
-                draft = jax.vmap(
-                    lambda c, pp: jax.lax.dynamic_slice(
-                        c, (jnp.maximum(pp, 0) + 1,), (gamma - 1,)
-                    )
-                )(ctx, p)
-                draft = jnp.where((p >= 0)[:, None], draft, jnp.int32(-1))
-                seq = jnp.concatenate([toks[:, None], draft], axis=1)
+                seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
                 logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, logits_all=True
+                    params, seq, cache, n_past, cfg_, kv_block=kvb, logits_all=True
                 )
                 pts = []
                 for i in range(gamma):
@@ -288,10 +338,7 @@ class BatchedEngine:
                     pt_all[:, : gamma - 1], safe[:, :, None], axis=2
                 )[..., 0]
                 acc = (us < pt_draft) & (draft >= 0)
-                k = jnp.argmin(
-                    jnp.concatenate([acc, jnp.zeros((nb, 1), bool)], axis=1),
-                    axis=1,
-                ).astype(jnp.int32)
+                k = first_reject(acc)
                 pt_k = jnp.take_along_axis(
                     pt_all, k[:, None, None], axis=1
                 )[:, 0]  # [B, V]
@@ -312,14 +359,7 @@ class BatchedEngine:
                 corr = jax.vmap(
                     lambda kk, r: jax.random.categorical(kk, jnp.log(r + 1e-30))
                 )(kc, resid).astype(jnp.int32)
-                draft_pad = jnp.concatenate(
-                    [draft, jnp.zeros((nb, 1), jnp.int32)], axis=1
-                )
-                emitted = jnp.where(
-                    jnp.arange(gamma)[None] < k[:, None], draft_pad,
-                    corr[:, None],
-                )
-                count = k + 1
+                emitted, count = assemble_emitted(k, draft, corr, gamma)
                 ctx = jax.vmap(
                     lambda c, s, np_: jax.lax.dynamic_update_slice(c, s, (np_,))
                 )(ctx, seq, n_past)
@@ -342,8 +382,11 @@ class BatchedEngine:
         self._decode_lookup_sampled = _decode_lookup_sampled
 
         @jax.jit
-        def _ctx_write(ctx, row, slot):
-            return jax.lax.dynamic_update_slice(ctx, row[None], (slot, 0))
+        def _ctx_write(ctx, rows, slots):
+            # ONE dispatch seeds every admitted row (ctx is small, so the
+            # scatter is cheap — unlike the multi-GB cache, where per-row
+            # dynamic_update_slice wins; see models/llama.py vector_past)
+            return ctx.at[slots].set(rows)
 
         self._decode_lookup = _decode_lookup
         self._ctx_write = _ctx_write
@@ -380,6 +423,7 @@ class BatchedEngine:
                 toks, cache, last, keys, n_past = state
                 logits, cache, _ = llama_forward(
                     params, toks[:, None], cache, n_past, cfg_,
+                    kv_block=kvb,
                     prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen,
                 )
                 keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
@@ -409,7 +453,7 @@ class BatchedEngine:
             cacheN = init_kv_cache(cfg_, n, scratch_len)
             npv = jnp.full((n,), pfx_len_s, jnp.int32)
             logits, cacheN, _ = llama_forward(
-                params, toks, cacheN, npv, cfg_, last_idx=last_idx,
+                params, toks, cacheN, npv, cfg_, kv_block=kvb, last_idx=last_idx,
                 prefix_kv=(pk, pv),
                 prefix_id=jnp.full((n,), pid_s, jnp.int32), prefix_len=npv,
             )
@@ -476,7 +520,7 @@ class BatchedEngine:
                     cfg_, n, scratch_len, dtype=jnp.dtype(bcfg_.kv_dtype)
                 )
             logits, cacheN, _ = llama_forward(
-                params, toks, cacheN, n_past0, cfg_, last_idx=last_idx
+                params, toks, cacheN, n_past0, cfg_, kv_block=kvb, last_idx=last_idx
             )
             logits = logits[:, 0, :]  # [n, V]
             def ins(c, cN, row, slot):
@@ -495,6 +539,14 @@ class BatchedEngine:
             )
             return cache, ids
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prefill_paged(params, cache, toks, n_past0, table):
+            _, cache, _ = llama_forward(
+                params, toks, cache, n_past0, cfg_, kv_block=kvb, page_table=table
+            )
+            return cache
+
+        self._prefill_paged = _prefill_paged
         self._prefill = _prefill
         self._admit_chunk = _admit_chunk
         self._decode = _decode
@@ -507,6 +559,38 @@ class BatchedEngine:
         suffix: the prefix K/V rows are copied into the slot at admission —
         prefix caching, new capability beyond the reference (whose engine
         re-evaluates every stream's full prompt)."""
+        if self.bcfg.paged:
+            # the prefix's FULL pages are shared read-only across slots by
+            # table aliasing (refcounted); the sub-page remainder tokens ride
+            # prepended to each request's suffix (at most page_size - 1
+            # re-evaluated tokens), which keeps every admission write
+            # page-aligned
+            ps = self.bcfg.page_size
+            plen = len(tokens)
+            assert 0 < plen < self.bcfg.n_ctx, "prefix length out of range"
+            full = plen // ps
+            pages = self.pager.alloc.alloc(full) if full else []
+            if full:
+                table = np.zeros((1, self.bcfg.n_ctx // ps), np.int32)
+                table[0, :full] = pages
+                tdev = jnp.asarray(table)
+                # decompose the page-aligned body into decreasing power-of-
+                # two chunks: each chunk's start is a multiple of its length
+                # (binary carry structure), so writes stay page-aligned
+                start = 0
+                body = np.asarray(tokens[: full * ps], np.int32)
+                while start < full * ps:
+                    c = 1 << ((full * ps - start).bit_length() - 1)
+                    self.cache = self._prefill_paged(
+                        self.params, self.cache,
+                        jnp.asarray(body[None, start : start + c]),
+                        jnp.int32(start), tdev,
+                    )
+                    start += c
+            pid = self._pid
+            self._pid += 1
+            self.prefixes[pid] = (pages, plen, list(tokens))
+            return pid
         if self.bcfg.shared_prefix:
             plen = len(tokens)
             assert 0 < plen <= self.bcfg.prefix_ctx, "prefix exceeds pool ctx"
@@ -574,6 +658,119 @@ class BatchedEngine:
         self.queue.append(req)
         return req
 
+    def _paged_admit_info(self, req: Request):
+        """(shared pages, page-aligned prefix rows, suffix tokens, bucket).
+
+        The prefix's sub-page remainder rides prepended to the suffix (so
+        admission writes start page-aligned); a preempted request's generated
+        tokens re-enter the same way (recompute-on-readmission)."""
+        ps = self.bcfg.page_size
+        if req.prefix >= 0:
+            pages, _plen, ptoks = self.prefixes[req.prefix]
+            aligned = len(pages) * ps
+            suffix = ptoks[aligned:] + req.prompt + req.generated
+        else:
+            pages, aligned = [], 0
+            suffix = req.prompt + req.generated
+        bucket = 8
+        while bucket < len(suffix):
+            bucket *= 2
+        bucket = min(bucket, self.bcfg.n_ctx - aligned)
+        return pages, aligned, suffix, bucket
+
+    def _admit_paged(self) -> None:
+        """Paged admission: reserve pages (prefix pages shared by table
+        aliasing), then prefill each chunk STRAIGHT into its slots' pages —
+        no scratch cache, no insert copies. A dry pool defers admission
+        until decode frees pages."""
+        ps = self.bcfg.page_size
+        free = [s for s in range(self.bcfg.max_batch) if self.slots[s] is None]
+        admitted, infos = [], {}
+        while free and self.queue:
+            req = self.queue[0]
+            info = self._paged_admit_info(req)
+            pages, aligned, suffix, bucket = info
+            slot = free[0]
+            try:
+                if pages:
+                    self.pager.share(slot, pages)
+                self.pager.ensure(slot, aligned + bucket, ps)
+            except MemoryError:
+                self.pager.free_slot(slot)
+                break  # pool full: keep queueing; decode frees pages
+            free.pop(0)
+            self.queue.pop(0)
+            req.slot = slot
+            self.slots[slot] = req
+            admitted.append(req)
+            infos[req.rid] = info
+        if not admitted:
+            return
+
+        w = self.bcfg.repeat_last_n
+        groups: dict[tuple, list[Request]] = {}
+        for req in admitted:
+            groups.setdefault((infos[req.rid][3], req.prefix), []).append(req)
+        pending = []
+        for (bucket, pfx), items in groups.items():
+            pfx_tokens = self.prefixes[pfx][2] if pfx >= 0 else []
+            aligned = infos[items[0].rid][1]
+            i = 0
+            while i < len(items):
+                n = 1 << max(0, (len(items) - i).bit_length() - 1)
+                n = min(n, max(1, self.bcfg.admit_chunk))
+                chunk = items[i : i + n]
+                i += n
+                toks = np.zeros((n, bucket), np.int32)
+                last_idx = np.zeros(n, np.int32)
+                seeds = np.zeros(n, np.int64)
+                table = np.zeros((n, self.pager.table.shape[1]), np.int32)
+                for j, req in enumerate(chunk):
+                    suffix = infos[req.rid][2]
+                    toks[j, : len(suffix)] = suffix
+                    last_idx[j] = len(suffix) - 1
+                    seeds[j] = req.seed
+                    slot = req.slot
+                    table[j] = self.pager.table[slot]
+                    hist = (pfx_tokens + req.prompt + req.generated)[-w:]
+                    self.last_window[slot] = -1
+                    if hist:
+                        self.last_window[slot, -len(hist):] = hist
+                    self.top_p[slot] = req.sp.top_p
+                    self.temp[slot] = req.sp.temp
+                    self.penalty[slot] = req.sp.repeat_penalty
+                    self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
+                    self.n_past[slot] = aligned + len(suffix)
+                rows = np.asarray([r.slot for r in chunk])
+                self.cache, ids = self._admit_chunk_paged(
+                    self.params,
+                    self.cache,
+                    jnp.asarray(toks),
+                    jnp.int32(aligned),
+                    jnp.asarray(last_idx),
+                    jnp.asarray(seeds.astype(np.int32)),
+                    jnp.asarray(self.last_window[rows]),
+                    jnp.asarray(self.top_p[rows]),
+                    jnp.asarray(self.temp[rows]),
+                    jnp.asarray(self.penalty[rows]),
+                    jnp.asarray(table),
+                    n=n,
+                    top_k=self.bcfg.top_k,
+                )
+                self.stats["prefills"] += n
+                self.stats["prefill_calls"] += 1
+                pending.append((chunk, ids))
+
+        for chunk, ids in pending:
+            ids = np.asarray(ids)
+            for j, req in enumerate(chunk):
+                tok = int(ids[j])
+                slot = req.slot
+                self._emit(req, tok)
+                self.cur_tok[slot] = tok
+                self.last_window[slot] = np.roll(self.last_window[slot], -1)
+                self.last_window[slot, -1] = tok
+
     def _admit(self) -> None:
         """Fill free slots from the queue, batching prefills.
 
@@ -583,6 +780,8 @@ class BatchedEngine:
         cache inserts dispatched asynchronously. Phase 1 gets every chunk's
         device work in flight; phase 2 syncs the sampled ids chunk by chunk —
         the (high-latency, ~30 ms) device round-trips all overlap."""
+        if self.bcfg.paged:
+            return self._admit_paged()
         free = [s for s in range(self.bcfg.max_batch) if self.slots[s] is None]
         admitted = []
         while free and self.queue:
@@ -715,15 +914,18 @@ class BatchedEngine:
                 self.last_window[slot, -1] = tok
 
         if self.bcfg.lookup_gamma > 0:
-            # seed the device-side context rows the lookup matcher reads
-            for req in admitted:
+            # seed the device-side context rows the lookup matcher reads —
+            # ONE dispatch for the whole admission wave
+            rows = np.zeros((len(admitted), self.bcfg.n_ctx), np.int32)
+            slots = np.zeros(len(admitted), np.int32)
+            for j, req in enumerate(admitted):
                 pfx_tokens = self.prefixes[req.prefix][2] if req.prefix >= 0 else []
-                row = np.zeros(self.bcfg.n_ctx, np.int32)
                 hist = (pfx_tokens + req.prompt)[: self.bcfg.n_ctx]
-                row[: len(hist)] = hist
-                self.ctx_dev = self._ctx_write(
-                    self.ctx_dev, jnp.asarray(row), jnp.int32(req.slot)
-                )
+                rows[j, : len(hist)] = hist
+                slots[j] = req.slot
+            self.ctx_dev = self._ctx_write(
+                self.ctx_dev, jnp.asarray(rows), jnp.asarray(slots)
+            )
 
     def _emit(self, req: Request, tok: int) -> None:
         req.generated.append(tok)
@@ -753,6 +955,8 @@ class BatchedEngine:
         g = self.bcfg.lookup_gamma
         if g > 0:
             return self._step_lookup(room, g)
+        if self.bcfg.paged:
+            return self._step_paged(room)
         n_steps = min(self.bcfg.block, max(1, room))
         n_steps = 1 << (n_steps.bit_length() - 1)  # snap down to a power of 2
         t0 = time.perf_counter()
@@ -815,6 +1019,98 @@ class BatchedEngine:
                 if self.bcfg.shared_prefix:
                     self.pfx_len[slot] = 0
                     self.pfx_id[slot] = 0
+        return finished
+
+    def _preempt(self, slot: int) -> None:
+        """Release `slot`'s pages and return its request to the queue head.
+        Its generated tokens re-enter the admission prefill as prompt suffix
+        (recompute-on-readmission — the vLLM-style fallback when the pool
+        runs dry; emitted tokens are never rolled back)."""
+        req = self.slots[slot]
+        self.slots[slot] = None
+        self.pager.free_slot(slot)
+        self.n_past[slot] = 0
+        req.slot = -1
+        self.queue.insert(0, req)
+        self.stats["preempted"] = self.stats.get("preempted", 0) + 1
+
+    def _step_paged(self, room: int) -> list[Request]:
+        """One paged decode block: map this block's write pages up front
+        (preempting the youngest request when the pool runs dry), sync the
+        block table to device if it changed, decode through the table."""
+        n_steps = min(self.bcfg.block, max(1, room))
+        n_steps = 1 << (n_steps.bit_length() - 1)
+        ps = self.bcfg.page_size
+        for slot in range(self.bcfg.max_batch):
+            if self.slots[slot] is None:
+                continue
+            while self.slots[slot] is not None:
+                try:
+                    self.pager.ensure(
+                        slot,
+                        min(self.bcfg.n_ctx, int(self.n_past[slot]) + n_steps),
+                        ps,
+                    )
+                    break
+                except MemoryError:
+                    victims = [
+                        s for s in range(self.bcfg.max_batch)
+                        if self.slots[s] is not None
+                    ]
+                    if victims == [slot]:
+                        raise MemoryError(
+                            "KV page pool too small for one request; "
+                            "increase BatchConfig.n_pages"
+                        ) from None
+                    victim = max(victims, key=lambda s: self.slots[s].rid)
+                    self._preempt(victim)
+                    # if `slot` itself was youngest it skips its ensure; its
+                    # zeroed table row points at the trash page until
+                    # re-admission
+        if self.pager.dirty:
+            self._table_dev = jnp.asarray(self.pager.table)
+            self.pager.dirty = False
+
+        t0 = time.perf_counter()
+        toks, self.cache, last, self.keys = self._decode_paged(
+            self.params,
+            self.cache,
+            self._table_dev,
+            jnp.asarray(self.cur_tok),
+            jnp.asarray(self.last_window),
+            self.keys,
+            jnp.asarray(self.n_past),
+            jnp.asarray(self.top_p),
+            jnp.asarray(self.temp),
+            jnp.asarray(self.penalty),
+            n_steps,
+            self.bcfg.top_k,
+        )
+        toks = np.asarray(toks)
+        self.last_window = np.array(last)
+        self.stats["t_decode"] += time.perf_counter() - t0
+        self.stats["steps"] += n_steps
+
+        finished = []
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            consumed = 0
+            for t in toks[slot]:
+                consumed += 1
+                if req.done:
+                    break
+                self._emit(req, int(t))
+                self.stats["tokens"] += 1
+                if req.done:
+                    break
+            self.n_past[slot] += consumed
+            self.cur_tok[slot] = toks[slot][consumed - 1]
+            if req.done:
+                finished.append(req)
+                self.slots[slot] = None
+                self.n_past[slot] = 0
+                self.pager.free_slot(slot)
         return finished
 
     def _step_lookup(self, room: int, g: int) -> list[Request]:

@@ -129,14 +129,7 @@ def sample_token_dyn(
     """sample_token with traced sampling params; temp <= 0 selects greedy."""
     v = logits.shape[-1]
     scale = jnp.where(temp > 0, 1.0 / jnp.maximum(temp, 1e-6), 1.0)
-    seen = jnp.zeros((v,), bool).at[jnp.where(last_tokens >= 0, last_tokens, 0)].set(
-        last_tokens >= 0
-    )
-    scaled = logits * scale
-    penalized = jnp.where(
-        logits < 0.0, scaled * repeat_penalty, scaled / repeat_penalty
-    )
-    scaled = jnp.where(seen, penalized, scaled)
+    scaled = _apply_repeat_penalty(logits, last_tokens, scale, repeat_penalty)
 
     k = v if top_k <= 0 else min(top_k, v)
     top_vals, top_idx = jax.lax.top_k(scaled, k)
@@ -197,14 +190,7 @@ def probs_from_logits_dyn(
     v = logits.shape[-1]
     greedy = jnp.zeros(v).at[jnp.argmax(logits)].set(1.0)
     scale = jnp.where(temp > 0, 1.0 / jnp.maximum(temp, 1e-6), 1.0)
-    seen = jnp.zeros((v,), bool).at[
-        jnp.where(last_tokens >= 0, last_tokens, 0)
-    ].set(last_tokens >= 0)
-    scaled = logits * scale
-    penalized = jnp.where(
-        logits < 0.0, scaled * repeat_penalty, scaled / repeat_penalty
-    )
-    scaled = jnp.where(seen, penalized, scaled)
+    scaled = _apply_repeat_penalty(logits, last_tokens, scale, repeat_penalty)
     k = v if top_k <= 0 else min(top_k, v)
     top_vals, top_idx = jax.lax.top_k(scaled, k)
     probs = jax.nn.softmax(top_vals)

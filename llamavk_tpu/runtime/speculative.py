@@ -105,6 +105,59 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
     return spec_block
 
 
+
+
+def lookup_draft_batched(ctx, toks, n_past, gamma: int):
+    """Batched 2-gram prompt-lookup drafting (the single shared matcher).
+
+    ctx [B, S] token history (rows < n_past[b] valid), toks [B] pending
+    tokens, n_past [B] -> (seq [B, gamma] verify inputs, draft [B, gamma-1]
+    with -1 poison when no match, p [B] match positions or -1)."""
+    bsz, s = ctx.shape
+    idx = jnp.arange(s, dtype=jnp.int32)[None]
+    prev = jnp.take_along_axis(
+        ctx, jnp.maximum(n_past - 1, 0)[:, None], 1
+    )[:, 0]
+    shifted = jnp.roll(ctx, 1, axis=1)  # shifted[:, p] = ctx[:, p-1]
+    match = (
+        (idx >= 1)
+        & (idx <= (n_past - gamma)[:, None])
+        & (ctx == toks[:, None])
+        & (shifted == prev[:, None])
+    )
+    p = jnp.max(jnp.where(match, idx, -1), axis=1)
+    draft = jax.vmap(
+        lambda c, pp: jax.lax.dynamic_slice(
+            c, (jnp.maximum(pp, 0) + 1,), (gamma - 1,)
+        )
+    )(ctx, p)
+    draft = jnp.where((p >= 0)[:, None], draft, jnp.int32(-1))
+    seq = jnp.concatenate([toks[:, None], draft], axis=1)
+    return seq, draft, p
+
+
+def first_reject(acc):
+    """acc [B, gamma-1] accept flags -> k [B]: index of the first rejection
+    (gamma-1 when every draft position was accepted)."""
+    bsz = acc.shape[0]
+    return jnp.argmin(
+        jnp.concatenate([acc, jnp.zeros((bsz, 1), bool)], axis=1), axis=1
+    ).astype(jnp.int32)
+
+
+def assemble_emitted(k, draft, corr, gamma: int):
+    """Round outputs: emitted [B, gamma] = accepted draft prefix then the
+    correction/bonus token, count [B] = k + 1 valid entries per row."""
+    bsz = draft.shape[0]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.zeros((bsz, 1), jnp.int32)], axis=1
+    )
+    emitted = jnp.where(
+        jnp.arange(gamma)[None] < k[:, None], draft_pad, corr[:, None]
+    )
+    return emitted, k + 1
+
+
 def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
     """Draft-model-free speculative decoding: prompt-lookup (n-gram) drafts.
 
@@ -128,51 +181,29 @@ def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
 
     @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_block(params_t, tok0, ctx, cache_t, n_past, n_rounds):
-        idx = jnp.arange(n_ctx, dtype=jnp.int32)
-
         def round_body(state, _):
             tok, ctx, cache_t, n_past = state
-            prev = ctx[jnp.maximum(n_past - 1, 0)]
-            # candidate match position p: the 2-gram (prev, tok) occurred at
-            # (p-1, p), with gamma-1 follower rows inside the consumed
-            # context; take the MOST RECENT such p
-            shifted = jnp.roll(ctx, 1)  # shifted[p] = ctx[p-1]
-            match = (
-                (idx >= 1)
-                & (idx <= n_past - gamma)
-                & (ctx == tok)
-                & (shifted == prev)
+            seq2, draft2, _ = lookup_draft_batched(
+                ctx[None], tok.reshape(1), n_past.reshape(1), gamma
             )
-            p = jnp.max(jnp.where(match, idx, -1))
-            draft = jax.lax.dynamic_slice(
-                ctx, (jnp.maximum(p, 0) + 1,), (gamma - 1,)
-            )
-            # no match: poison the draft so the agreeing prefix is empty and
-            # the round degrades to exactly one plain decode step
-            draft = jnp.where(p >= 0, draft, jnp.int32(-1))
-
-            seq = jnp.concatenate([tok.reshape(1), draft])  # [gamma] inputs
+            seq, draft = seq2[0], draft2[0]
             lg, cache_t, _ = llama_forward(
                 params_t, seq[None], cache_t, n_past, cfg_t, logits_all=True
             )
             y = jnp.argmax(lg[0], axis=-1).astype(jnp.int32)  # [gamma]
 
-            agree = draft == y[: gamma - 1]
-            k = jnp.argmin(
-                jnp.concatenate([agree, jnp.zeros(1, bool)])
-            ).astype(jnp.int32)  # first disagreement; gamma-1 if all agree
-            draft_pad = jnp.concatenate([draft, jnp.zeros(1, jnp.int32)])
-            emitted = jnp.where(
-                jnp.arange(gamma) < k, draft_pad, y[jnp.minimum(k, gamma - 1)]
-            )
-            count = k + 1
+            k = first_reject((draft == y[: gamma - 1])[None])[0]
             tok_next = y[k]
+            emitted2, count2 = assemble_emitted(
+                k[None], draft2, tok_next.reshape(1), gamma
+            )
+            emitted, count = emitted2[0], count2[0]
             # consumed-input rows: seq[0..k] are valid, the rest junk that
             # the next round overwrites (rows >= n_past are never read)
             ctx = jax.lax.dynamic_update_slice(ctx, seq, (n_past,))
             return (tok_next, ctx, cache_t, n_past + count), (emitted, count)
 
-        state = (tok0, ctx, cache_t, n_past)
+        state = (tok0, jnp.asarray(ctx), cache_t, jnp.asarray(n_past))
         (tok, ctx, cache_t, n_past), (toks, counts) = jax.lax.scan(
             round_body, state, None, length=n_rounds
         )
@@ -197,25 +228,12 @@ def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
     @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_sample_block(params_t, tok0, ctx, cache_t, n_past, key,
                             n_rounds):
-        idx = jnp.arange(n_ctx, dtype=jnp.int32)
-
         def round_body(state, _):
             tok, ctx, cache_t, n_past, key = state
-            prev = ctx[jnp.maximum(n_past - 1, 0)]
-            shifted = jnp.roll(ctx, 1)
-            match = (
-                (idx >= 1)
-                & (idx <= n_past - gamma)
-                & (ctx == tok)
-                & (shifted == prev)
+            seq2, draft2, p2 = lookup_draft_batched(
+                ctx[None], tok.reshape(1), n_past.reshape(1), gamma
             )
-            p = jnp.max(jnp.where(match, idx, -1))
-            draft = jax.lax.dynamic_slice(
-                ctx, (jnp.maximum(p, 0) + 1,), (gamma - 1,)
-            )
-            draft = jnp.where(p >= 0, draft, jnp.int32(-1))
-
-            seq = jnp.concatenate([tok.reshape(1), draft])
+            seq, draft, p = seq2[0], draft2[0], p2[0]
             lg, cache_t, _ = llama_forward(
                 params_t, seq[None], cache_t, n_past, cfg_t, logits_all=True
             )
@@ -230,9 +248,7 @@ def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
             # (no match) takes p_t = 0 -> certain rejection, plain step
             safe = jnp.maximum(draft, 0)
             acc = (us < pt_all[ids, safe]) & (draft >= 0)
-            k = jnp.argmin(
-                jnp.concatenate([acc, jnp.zeros(1, bool)])
-            ).astype(jnp.int32)  # first rejection; gamma-1 if none
+            k = first_reject(acc[None])[0]
 
             # residual at the rejection point: p_t with the draft token
             # removed (only when a real draft existed — a no-match round
@@ -246,9 +262,10 @@ def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
             corr = jax.random.categorical(
                 kc, jnp.log(resid + 1e-30)
             ).astype(jnp.int32)
-            draft_pad = jnp.concatenate([draft, jnp.zeros(1, jnp.int32)])
-            emitted = jnp.where(jnp.arange(gamma) < k, draft_pad, corr)
-            count = k + 1
+            emitted2, count2 = assemble_emitted(
+                k[None], draft2, corr.reshape(1), gamma
+            )
+            emitted, count = emitted2[0], count2[0]
             ctx = jax.lax.dynamic_update_slice(ctx, seq, (n_past,))
             return (corr, ctx, cache_t, n_past + count, key), (emitted, count)
 

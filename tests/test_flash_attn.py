@@ -195,3 +195,28 @@ def test_flash_update_with_prefix_pool():
         np.asarray(out), np.asarray(want), rtol=2e-2, atol=2e-2
     )
     np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
+
+
+def test_flash_prefix_block_decoupled_from_slot_block():
+    """Slot n_ctx that snaps to a kv block NOT dividing the pool length
+    (s=320 -> bk=160; pool 256) must still work: the prefix pass picks its
+    own divisor block."""
+    rng = np.random.default_rng(3)
+    b, t, h, sp, s, d = 2, 1, 2, 256, 320, 32
+    npast = np.array([3, 9], np.int32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    pk = jnp.asarray(rng.standard_normal((2, h, sp, d)), jnp.bfloat16)
+    pv = jnp.asarray(rng.standard_normal((2, h, sp, d)), jnp.bfloat16)
+    pid = np.array([0, 1], np.int32)
+    plen = np.array([100, 256], np.int32)
+    got = flash_attention(
+        q, k, v, jnp.asarray(npast), block_t=32, block_k=256,
+        prefix_k=pk, prefix_v=pv,
+        prefix_id=jnp.asarray(pid), prefix_len=jnp.asarray(plen),
+    )
+    ref = _prefix_ref(q, k, v, npast, pk, pv, pid, plen)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )

@@ -42,6 +42,12 @@ def main():
                     help="shared system-prompt length (with --shared-prefix)")
     ap.add_argument("--greedy", action="store_true",
                     help="submit greedy requests (temp 0) instead of temp 0.8")
+    ap.add_argument("--paged", action="store_true",
+                    help="block-table paged KV pool (runtime/paged.py)")
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--n-pages", type=int, default=0,
+                    help="pool pages (0 = flat footprint; smaller "
+                    "oversubscribes slots and may preempt)")
     args = ap.parse_args()
     sp_load = (SamplerParams(temp=0.0) if args.greedy
                else SamplerParams(temp=0.8))
@@ -55,7 +61,9 @@ def main():
         BatchConfig(max_batch=args.max_batch, n_ctx=args.n_ctx, block=args.block,
                     kv_dtype=args.kv_dtype, lookup_gamma=args.lookup_gamma,
                     shared_prefix=args.shared_prefix,
-                    prefix_ctx=max(256, -(-args.prefix_len // 256) * 256)),
+                    prefix_ctx=max(256, -(-args.prefix_len // 256) * 256),
+                    paged=args.paged, page_size=args.page_size,
+                    n_pages=args.n_pages),
     )
 
     rng = np.random.default_rng(0)
@@ -111,6 +119,13 @@ def main():
         f" {st['prefills']} prefills in {st.get('prefill_calls', 0)} batched calls;"
         f" non-decode wall {wall - st['t_decode']:.1f}s"
     )
+    if args.paged:
+        a = eng.pager.alloc
+        log(
+            f"paged: {a.n_pages} pages x {args.page_size} rows"
+            f" ({a.n_pages - a.n_free - 1} still mapped),"
+            f" {st.get('preempted', 0)} preemptions"
+        )
     print(
         f'{{"metric": "LLaMA-{args.model} Q4_0 continuous-batching serving throughput",'
         f' "value": {gen / wall:.2f}, "unit": "generated tok/s",'

@@ -50,11 +50,13 @@ def bench_lookup(args):
     )
     R = eng.scfg.rounds_per_block
     eng.generate([1, 2, 3, 4] * 4, 2, ignore_eos=True)  # compile
+    headroom = R * args.gamma + args.gamma + 1
+    budget = min(8 * R * args.gamma, args.n_ctx - 16 - headroom)
     best = float("inf")
     for _ in range(3):
         eng.stats = {"rounds": 0, "accepted": 0, "emitted": 0}
         t0 = time.perf_counter()
-        out = eng.generate([1, 2, 3, 4] * 4, 8 * R * args.gamma, ignore_eos=True)
+        out = eng.generate([1, 2, 3, 4] * 4, budget, ignore_eos=True)
         dt = time.perf_counter() - t0
         if eng.stats["rounds"]:
             best = min(best, dt / eng.stats["rounds"])

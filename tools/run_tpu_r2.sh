@@ -40,6 +40,11 @@ run serving_lookup 3600 python tools/bench_serving.py --max-batch 32 --lookup-ga
 # 6. shared-prefix serving: pool-attended system prompt vs per-slot copies
 run serving_sharedpfx 3600 python tools/bench_serving.py --max-batch 32 --shared-prefix --prefix-len 128
 
+# 7. paged-KV serving: block-table pool at the flat footprint, then
+#    oversubscribed (half the pages — preemption path under real load)
+run serving_paged 3600 python tools/bench_serving.py --max-batch 32 --paged
+run serving_paged_half 3600 python tools/bench_serving.py --max-batch 32 --paged --n-pages 129
+
 echo "=== summary ==="
 grep -h '"metric"' "$OUT"/*.out 2>/dev/null
 grep -h "roofline:" "$OUT"/*.err 2>/dev/null
