@@ -41,6 +41,27 @@ def to_ilv(x: jax.Array, k: int, chunks: int = 1) -> jax.Array:
     return x.reshape(*lead, k)
 
 
+def to_i4lv(x: jax.Array, k: int, chunks: int = 1) -> jax.Array:
+    """Activation order for the int4-bitcast unpack (dot_mode="i4").
+
+    `pltpu.bitcast(int8 -> int4)` expands byte row r into int4 rows 2r (lo
+    nibble) and 2r+1 (hi nibble) — measured on v5e by
+    tools/bench_unpack2.py --perm-probe. The ilv byte plane stores weight
+    (m, g) in the lo nibble and (m + QK/2, g) in the hi nibble of byte row
+    m*G + g, so the bitcast int4 plane's row m*2G + 2g + b corresponds to
+    original x position g*QK + (m + b*QK/2):
+
+        x'[..., m*2G + 2g + b] = x[..., g*QK + b*QK/2 + m]
+    """
+    kc = k // chunks
+    g = kc // QK
+    m = QK // 2
+    lead = x.shape[:-1]
+    x = x.reshape(*lead, chunks, g, 2, m)
+    x = jnp.moveaxis(x, -1, -3)  # (chunks, m, g, 2)
+    return x.reshape(*lead, k)
+
+
 def _group_sums(x: jax.Array, k: int) -> jax.Array:
     """Per-quantization-block sums of x (original k order) → [..., G]."""
     g = k // QK
@@ -55,7 +76,10 @@ def q4_matmul_ref(x: jax.Array, qw: QWeight, out_dtype=jnp.float32) -> jax.Array
     )
 
 
-def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32):
+def _kernel_q4(
+    x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32,
+    unpack: str = "shift",
+):
     """Fused dequant+matmul over one packed chunk.
 
     ilv layout: storage row r uses scales[r % G], so each G-row slice of the
@@ -79,7 +103,37 @@ def _kernel_q4(x_ref, p_ref, s_ref, o_ref, *, layout: str, mul_dtype=jnp.float32
     g = s_ref.shape[0]
     s = s_ref[:].astype(mul_dtype)  # [G, BN]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    if layout == LAYOUT_ILV:
+    if layout == LAYOUT_ILV and unpack == "i4":
+        # int4-bitcast unpack (x in to_i4lv order): byte row r reinterprets
+        # as int4 rows 2r (lo) / 2r+1 (hi) — one native int4->mul_dtype
+        # widening convert replaces the widen+2-shift sequence (~5 -> ~3 VPU
+        # ops/weight; v5e: 676 vs 601 GB/s effective,
+        # tools/bench_unpack2.py). The byte plane is UNCHANGED — only the
+        # in-kernel view and the activation order differ. Numerics are
+        # identical to the shift path at mul_dtype=f32 (int4 -> f32 exact).
+        # The bitcast covers the WHOLE ref once (a reinterpret, not a
+        # per-step vector repack) and slices group c consecutive byte-rows
+        # so every int4 slice offset/length is 32-row aligned (Mosaic's
+        # int4 sublane tile).
+        w4 = pltpu.bitcast(p_ref[:], jnp.int4)  # [2*half, BN]
+        m_steps = half // g  # = QK // 2
+        c = 1
+        while (2 * g * c) % 32:
+            c *= 2
+        c = min(c, m_steps)
+        s2 = jnp.repeat(s, 2, axis=0)  # int4 row 2g+b scales by s[g]
+        if c > 1:
+            s2 = jnp.concatenate([s2] * c, axis=0)
+        for m in range(m_steps // c):
+            w = (
+                w4[m * 2 * g * c : (m + 1) * 2 * g * c, :].astype(mul_dtype)
+                * s2
+            ).astype(dot_dtype)
+            acc += jnp.dot(
+                x[:, 2 * m * g * c : 2 * (m + 1) * g * c], w,
+                preferred_element_type=jnp.float32,
+            )
+    elif layout == LAYOUT_ILV:
         m_steps = half // g  # = QK // 2
         for m in range(m_steps):
             p = p_ref[m * g : (m + 1) * g, :].astype(jnp.int32)
@@ -135,7 +189,18 @@ def _kernel_q4_i8(xq_ref, sx_ref, p_ref, s_ref, o_ref):
     Per-weight VPU work is ONLY nibble extraction (int8 in, int8 out); the
     multiply-accumulate runs int8 x int8 -> int32 on the MXU as one
     dot_general batched over quantization groups, and both scale sets fold
-    in AFTER the dot:  y[b,n] = sum_g sx[g,b] * s[g,n] * D[g,b,n]."""
+    in AFTER the dot:  y[b,n] = sum_g sx[g,b] * s[g,n] * D[g,b,n].
+
+    MEASURED NEGATIVE RESULT (v5e, 2026-08-18, tools/bench_int8_mxu.py):
+    Mosaic cannot compile the group-BATCHED int8 dot_general on real
+    hardware (tpu_compile_helper internal error; plain 2-D int8 dots DO
+    compile, tools/bench_unpack2.py i8dot2d). The same structure with bf16
+    dots compiles but is SLOWER than the production shift-unpack kernel
+    (~470 vs ~565 GB/s) — the batched [G, B, BN] accumulator defeats XLA's
+    MXU tiling. Exact Q4_0 numerics fundamentally need the per-group
+    partial sums (both scale sets vary along the contraction), so there is
+    no 2-D reformulation; this path stays interpret/CPU-only until Mosaic
+    grows batched integer dots. Kept for the NumPy/interpret twin tests."""
     half, bn = p_ref.shape
     g = s_ref.shape[0]
     m = half // g  # QK // 2
@@ -216,20 +281,22 @@ def _chunk_matmul_i8(xq, sx, packed, scales, layer_idx, c: int, bn: int):
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), xq, sx, packed, scales)[0]
 
 
-def _kernel_q4_stacked(idx_ref, x_ref, p_ref, s_ref, o_ref, *, layout, mul_dtype):
+def _kernel_q4_stacked(
+    idx_ref, x_ref, p_ref, s_ref, o_ref, *, layout, mul_dtype, unpack
+):
     """Stacked-weight kernel body: weight/output refs carry a leading
     singleton layer dim (the index_map already selected layer idx_ref[0]);
     delegate to the flat kernel through sub-refs."""
     del idx_ref
     _kernel_q4(
         x_ref, p_ref.at[0], s_ref.at[0], o_ref.at[0],
-        layout=layout, mul_dtype=mul_dtype,
+        layout=layout, mul_dtype=mul_dtype, unpack=unpack,
     )
 
 
 def _chunk_matmul_stacked(
     xc, packed, scales, layer_idx, c: int, bn: int, bb: int, layout, out_dtype,
-    mul_dtype,
+    mul_dtype, unpack="shift",
 ):
     """One packed chunk of a STACKED weight [L, K/2, N], layer chosen by a
     scalar-prefetch index inside the BlockSpec index_map.
@@ -254,7 +321,9 @@ def _chunk_matmul_stacked(
     # block indices are in units of the block shape; chunk c's rows start at
     # element c*half = block index c (block dim = half), same for scales
     return pl.pallas_call(
-        functools.partial(_kernel_q4_stacked, layout=layout, mul_dtype=mul_dtype),
+        functools.partial(
+            _kernel_q4_stacked, layout=layout, mul_dtype=mul_dtype, unpack=unpack
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -284,7 +353,8 @@ def _chunk_matmul_stacked(
 
 
 def _chunk_matmul(
-    xc, packed, scales, bn: int, bb: int, layout: str, out_dtype, mul_dtype
+    xc, packed, scales, bn: int, bb: int, layout: str, out_dtype, mul_dtype,
+    unpack="shift",
 ):
     """One packed chunk: xc [BP, Kc] (storage order), packed [Kc/2, NP]."""
     bp, kc = xc.shape
@@ -297,7 +367,9 @@ def _chunk_matmul(
         transcendentals=0,
     )
     return pl.pallas_call(
-        functools.partial(_kernel_q4, layout=layout, mul_dtype=mul_dtype),
+        functools.partial(
+            _kernel_q4, layout=layout, mul_dtype=mul_dtype, unpack=unpack
+        ),
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((bp, npad), out_dtype),
         in_specs=[
@@ -456,9 +528,12 @@ def q4_matmul(
     for d in lead:
         b *= d
     xf = x.reshape(b, k).astype(jnp.bfloat16)
+    mode = dot_mode or _ENV_DOT
+    # "i4": int4-bitcast unpack of the SAME ilv byte plane (see _kernel_q4)
+    unpack = "i4" if (mode == "i4" and qw.layout == LAYOUT_ILV) else "shift"
 
     if (
-        (dot_mode or _ENV_DOT) == "i8"
+        mode == "i8"
         and qw.bias is None
         and qw.layout == LAYOUT_ILV
         and b <= _I8_MAX_B
@@ -507,7 +582,9 @@ def q4_matmul(
                 else None
             )
             if qw.layout == LAYOUT_ILV:
-                xf = to_ilv(xf, k, chunks)
+                xf = to_i4lv(xf, k, chunks) if unpack == "i4" else to_ilv(
+                    xf, k, chunks
+                )
             bp_pad = _round_up(bp, bb)
             if bp_pad != b:
                 xf = jnp.pad(xf, ((0, bp_pad - b), (0, 0)))
@@ -525,6 +602,7 @@ def q4_matmul(
                     qw.layout,
                     jnp.float32,
                     mul_dtype,
+                    unpack,
                 )
                 y = yc if y is None else y + yc
             y = y[:b]
@@ -542,7 +620,7 @@ def q4_matmul(
         else None
     )
     if qw.layout == LAYOUT_ILV:
-        xf = to_ilv(xf, k, chunks)
+        xf = to_i4lv(xf, k, chunks) if unpack == "i4" else to_ilv(xf, k, chunks)
 
     # pad batch to a sublane multiple; pad N to a lane multiple
     bp = _round_up(max(b, 8), 8)
@@ -580,6 +658,7 @@ def q4_matmul(
             qw.layout,
             jnp.float32,
             mul_dtype,
+            unpack,
         )
         y = yc if y is None else y + yc
     y = y[:b, :n]

@@ -176,3 +176,61 @@ def test_q4_matmul_i8_chunked(chunks):
     y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i8"))
     y_np = np.asarray(x, np.float32) @ wd
     np.testing.assert_allclose(y, y_np, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("b,k,n", [(1, 128, 256), (8, 256, 384), (4, 704, 128)])
+def test_q4_matmul_i4_matches_shift(b, k, n):
+    """int4-bitcast unpack (dot_mode="i4") computes the SAME math as the f32
+    shift path (int4 -> f32 widening is exact); only dot contraction order
+    differs (one 2G-wide dot vs two G-wide dots), so agreement is
+    f32-noise tight."""
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
+    y4 = np.asarray(
+        q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i4",
+                  mul_dtype=jnp.float32)
+    )
+    ys = np.asarray(
+        q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="f32",
+                  mul_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(y4, ys, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(y4, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_q4_matmul_i4_stacked_layer_select():
+    L, k, n = 3, 128, 256
+    qws, wds = [], []
+    for l in range(L):
+        qw, wd = _make_qw(k, n, LAYOUT_ILV, seed=l)
+        qws.append(qw)
+        wds.append(wd)
+    import jax as _jax
+    stacked = _jax.tree.map(lambda *a: jnp.stack(a), *qws)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    for l in range(L):
+        y = np.asarray(
+            q4_matmul(
+                x, stacked, out_dtype=jnp.float32, dot_mode="i4",
+                layer_idx=jnp.int32(l),
+            )
+        )
+        np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wds[l],
+                                   rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("chunks", [2])
+def test_q4_matmul_i4_chunked(chunks):
+    k, n = 256, 128
+    rng = np.random.default_rng(6)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    d, q = quantize_q4_0(w)
+    qw = qweight_from_packed(repack_q4_0(d, q, chunks=chunks), scale_dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((5, k)), jnp.bfloat16)
+    wd = ((q.astype(np.float32) - 8) * d[..., None]).reshape(n, k).T
+    y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i4"))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)

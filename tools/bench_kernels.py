@@ -69,6 +69,8 @@ def main():
         ("bf16/bn1024", dict(mul_dtype=jnp.bfloat16, block_n=1024)),
         ("bf16/bn2048", dict(mul_dtype=jnp.bfloat16, block_n=2048)),
         ("f32/bn1024", dict(mul_dtype=jnp.float32, block_n=1024)),
+        ("f32/bn2048", dict(mul_dtype=jnp.float32, block_n=2048)),
+        ("i4/bn1024", dict(mul_dtype=jnp.float32, block_n=1024, dot_mode="i4")),
     ]
     log(f"batch={b}")
     totals = {name: 0.0 for name, _ in variants}
