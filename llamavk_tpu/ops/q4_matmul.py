@@ -383,8 +383,22 @@ def _chunk_matmul(
     )(xc, packed, scales)
 
 
-# defaults tunable via env for end-to-end A/B runs (bench.py)
-_ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "512"))
+# defaults tunable via env for end-to-end A/B runs (bench.py).
+# MEASURED NULL RESULT (v5e, 2026-08-19): bn2048 wins STANDALONE kernel A/Bs
+# by ~15% at B=1 (wqkv 870 vs ~640 GB/s; layer-matmul sum 6.30 vs 7.29 ms,
+# tools/bench_{kernels,bn_sweep}.py) but end-to-end decode is UNCHANGED
+# (bench.py 7.87 ms/step with a bn2048 decode default vs 7.76 at bn512):
+# in-program, XLA already overlaps the next matmul's weight DMA with the
+# current kernel, which is exactly what the larger tile buys standalone.
+# The default therefore stays 512 everywhere; _pick_bn is the seam where a
+# per-(batch, shape) table would go if a future config shows an E2E win.
+_ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "0"))
+
+
+def _pick_bn(b: int) -> int:
+    """Default N-tile request for a flattened batch of b rows (env wins)."""
+    del b
+    return _ENV_BN or 512
 _ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "512"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
@@ -430,7 +444,7 @@ def _q4_matmul_i8(xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead):
         xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
     xq, sx = quantize_act_blocks(xf)  # [QK, G, BP] int8, [G, BP] f32
 
-    bn = _fit_bn_i8(min(_ENV_BN, _round_up(n, 128)), half, gc, bp)
+    bn = _fit_bn_i8(min(_pick_bn(b), _round_up(n, 128)), half, gc, bp)
     if bn == 0:
         return None  # working set too large even at bn=128 (big K x big B):
         # caller falls back to the bf16 path
@@ -508,8 +522,6 @@ def q4_matmul(
                 lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0, False), qw
             )
         return q4_matmul_ref(x, qw, out_dtype=out_dtype)
-    if block_n is None:
-        block_n = _ENV_BN
     if block_b is None:
         block_b = _ENV_BB
     if mul_dtype is None:
@@ -528,6 +540,8 @@ def q4_matmul(
     for d in lead:
         b *= d
     xf = x.reshape(b, k).astype(jnp.bfloat16)
+    if block_n is None:
+        block_n = _pick_bn(b)
     mode = dot_mode or _ENV_DOT
     # "i4": int4-bitcast unpack of the SAME ilv byte plane (see _kernel_q4)
     unpack = "i4" if (mode == "i4" and qw.layout == LAYOUT_ILV) else "shift"
@@ -541,7 +555,7 @@ def q4_matmul(
         # (big K x batch near the cap), fall through to the NORMAL paths —
         # crucially keeping `stacked` so the bf16 stacked streaming stays
         and _fit_bn_i8(
-            min(_ENV_BN, _round_up(n, 128)),
+            min(_pick_bn(b), _round_up(n, 128)),
             (k // chunks) // 2, g // chunks, _round_up(max(b, 8), 8),
         ) > 0
     ):
