@@ -70,7 +70,10 @@ def big_insts(hlo: str, min_mb: float = 8.0):
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "7B"
     batch, n_ctx, steps = 1, 512, 64
-    cfg = ModelConfig(**LLAMA_CONFIGS[model])
+    over = {}
+    if len(sys.argv) > 2:  # layer-count differential: per-layer vs per-step
+        over["n_layer"] = int(sys.argv[2])
+    cfg = ModelConfig(**{**LLAMA_CONFIGS[model], **over})
     log(f"building synthetic {model} params ...")
     params = synthetic_params(cfg, seed=0)
     jax.block_until_ready(params)
