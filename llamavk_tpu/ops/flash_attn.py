@@ -45,6 +45,12 @@ _NEG = -1e30
 # compiled under a different cap). Per-call variation goes through the
 # explicit block_k / llama_forward(kv_block=...) arguments instead.
 _ENV_BK = int(os.environ.get("LLAMAVK_KV_BLOCK", "0"))
+# Diagnostic (read at IMPORT, like every env knob here): force 'arbitrary'
+# grid dimension semantics on the bf16 fused-update kernel to test whether
+# the int8 B=1 in-program regression is the 'arbitrary' semantics blocking
+# cross-kernel overlap (the quantized kernel needs them for its shared
+# scale-window RMW). tools/diag_int8_b1.py / ROADMAP item 0.
+_ENV_FORCE_ARB = os.environ.get("LLAMAVK_FORCE_ARB", "") == "1"
 
 
 def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
@@ -955,7 +961,7 @@ def flash_attention_update(
             # windows (quantized); otherwise head slices are disjoint
             dimension_semantics=(
                 "parallel",
-                "arbitrary" if quantized else "parallel",
+                "arbitrary" if (quantized or _ENV_FORCE_ARB) else "parallel",
                 "arbitrary",
             ),
         ),
