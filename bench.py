@@ -10,6 +10,10 @@ int32 device→host transfer per token. Weights are synthetic (random nibbles;
 identical compute/bandwidth profile to real weights).
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
+
+`--table` sweeps the roofline grid (model x batch x kv dtype), prints a
+markdown table of tok/s, achieved GB/s and %-of-SoL per config, and writes
+it to BENCH_TABLE.md (VERDICT r1 item 9).
 """
 
 import json
@@ -28,6 +32,7 @@ from llamavk_tpu.models import (
     llama_forward,
     synthetic_params,
 )
+from llamavk_tpu.utils.jitopts import decode_jit
 
 BASELINE_TOK_S = 1000.0 / 61.41  # README.md:137-141 of the reference
 V5E_HBM_GBPS = 819.0  # v5e HBM peak; the speed-of-light denominator
@@ -59,34 +64,27 @@ def decode_step_bytes(params, cfg, batch, n_ctx, kv_itemsize, n_past_avg,
     return w_bytes, kv_read + kv_write
 
 
-def main():
-    import argparse
+def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
+               params=None, measure: int = 128, do_prefill: bool = True):
+    """Measure one (model, batch, kv dtype) decode config on the chip.
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
-    ap.add_argument("--batch", type=int, default=1, help="decode batch size")
-    ap.add_argument("--n-ctx", type=int, default=512)
-    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
-    args = ap.parse_args()
-    model = args.model
-    batch = args.batch
-    n_ctx = args.n_ctx
-    kv_dtype = jnp.dtype(args.kv_dtype)
-    warmup, measure = 16, 128
-
+    Returns a dict with ms/step, tok/s, achieved GB/s, % of SoL — and the
+    params (so a sweep reuses them across kv dtypes/batches)."""
+    kv_dtype = jnp.dtype(kv_dtype)
     cfg = ModelConfig(**LLAMA_CONFIGS[model])
-    log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
-    t0 = time.perf_counter()
-    params = synthetic_params(cfg, seed=0)
-    jax.block_until_ready(params)
-    log(f"params ready in {time.perf_counter() - t0:.1f}s")
+    if params is None:
+        log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
+        t0 = time.perf_counter()
+        params = synthetic_params(cfg, seed=0)
+        jax.block_until_ready(params)
+        log(f"params ready in {time.perf_counter() - t0:.1f}s")
 
     cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)
 
     # device-side decode loop: the sampled token feeds the next step without
     # leaving the chip (the reference's "only a 4-byte result crosses back"
     # design, llama-vk.cpp:2264-2320 — here a whole block of ids at once)
-    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+    @partial(decode_jit, static_argnames=("n_steps",), donate_argnums=(2,))
     def decode(params, tok0, cache, n_past0, n_steps):
         def body(state, i):
             tok, cache = state
@@ -101,30 +99,33 @@ def main():
         )
         return toks, cache
 
-    # secondary metric: prefill throughput (the perplexity-eval workload —
-    # the reference reports 24.43 s per 512-token chunk, README.md:315-319)
-    @jax.jit
-    def prefill(params, toks, cache):
-        logits, cache, _ = llama_forward(
-            params, toks, cache, jnp.int32(0), cfg, logits_all=True
-        )
-        return logits, cache
+    pf_ms_512 = None
+    if do_prefill:
+        # secondary metric: prefill throughput (the perplexity-eval workload —
+        # the reference reports 24.43 s per 512-token chunk, README.md:315-319)
+        @decode_jit
+        def prefill(params, toks, cache):
+            logits, cache, _ = llama_forward(
+                params, toks, cache, jnp.int32(0), cfg, logits_all=True
+            )
+            return logits, cache
 
-    ptoks = jnp.ones((batch, n_ctx - measure), jnp.int32)
-    logits, cache = prefill(params, ptoks, cache)
-    np.asarray(logits[0, -1, :1])  # compile + sync
-    best_pf = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+        ptoks = jnp.ones((batch, n_ctx - measure), jnp.int32)
         logits, cache = prefill(params, ptoks, cache)
-        np.asarray(logits[0, -1, :1])
-        best_pf = min(best_pf, time.perf_counter() - t0)
-    n_pf = batch * (n_ctx - measure)
-    log(
-        f"prefill: {n_pf} tokens in {best_pf*1e3:.1f} ms = {n_pf/best_pf:.0f} tok/s"
-        f" ({best_pf/n_pf*512*1e3:.1f} ms per 512-token chunk-equivalent)"
-    )
-    cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)  # fresh for the decode measurement
+        np.asarray(logits[0, -1, :1])  # compile + sync
+        best_pf = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            logits, cache = prefill(params, ptoks, cache)
+            np.asarray(logits[0, -1, :1])
+            best_pf = min(best_pf, time.perf_counter() - t0)
+        n_pf = batch * (n_ctx - measure)
+        pf_ms_512 = best_pf / n_pf * 512 * 1e3
+        log(
+            f"prefill: {n_pf} tokens in {best_pf*1e3:.1f} ms = {n_pf/best_pf:.0f} tok/s"
+            f" ({pf_ms_512:.1f} ms per 512-token chunk-equivalent)"
+        )
+        cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)  # fresh for decode
 
     log("compiling decode loop ...")
     t0 = time.perf_counter()
@@ -170,20 +171,106 @@ def main():
         f" (SoL step {step_b/V5E_HBM_GBPS/1e6:.2f} ms ="
         f" {batch*V5E_HBM_GBPS*1e9/step_b:.0f} tok/s)"
     )
+    return {
+        "model": model,
+        "batch": batch,
+        "kv": str(jnp.dtype(kv_dtype)),
+        "ms_per_step": round(ms_tok, 2),
+        "tok_s": round(tok_s, 2),
+        "gbps": round(gbps),
+        "pct_sol": round(gbps / V5E_HBM_GBPS * 100),
+        "sol_tok_s": round(batch * V5E_HBM_GBPS * 1e9 / step_b),
+        "prefill_ms_512": None if pf_ms_512 is None else round(pf_ms_512, 1),
+        "params": params,
+    }
 
+
+# (model, batch, kv): the roofline sweep — batch 32 bf16 is the KV-memory
+# ceiling on one v5e at n_ctx 512 (17 GB at 64); int8 KV runs 64
+TABLE_CONFIGS = [
+    ("7B", 1, "bfloat16"),
+    ("7B", 1, "int8"),
+    ("7B", 8, "bfloat16"),
+    ("7B", 8, "int8"),
+    ("7B", 32, "bfloat16"),
+    ("7B", 64, "int8"),
+    ("13B", 1, "bfloat16"),
+    ("13B", 8, "int8"),
+]
+
+
+def run_table(n_ctx: int):
+    rows, params_by_model = [], {}
+    for model, batch, kv in TABLE_CONFIGS:
+        log(f"=== {model} batch={batch} kv={kv} ===")
+        try:
+            r = run_config(model, batch, n_ctx, kv,
+                           params=params_by_model.get(model), do_prefill=False)
+        except Exception as e:  # OOM on a big config should not kill the sweep
+            log(f"config failed: {e}")
+            continue
+        params_by_model[model] = r.pop("params")
+        rows.append(r)
+    hdr = ("| model | batch | KV | ms/step | tok/s | GB/s | % of SoL "
+           "| SoL tok/s |\n|---|---|---|---|---|---|---|---|")
+    lines = [hdr]
+    for r in rows:
+        lines.append(
+            f"| {r['model']} | {r['batch']} | {r['kv']} | {r['ms_per_step']} "
+            f"| {r['tok_s']} | {r['gbps']} | {r['pct_sol']}% | {r['sol_tok_s']} |"
+        )
+    table = "\n".join(lines)
+    log(table)
+    with open("BENCH_TABLE.md", "w") as f:
+        f.write(
+            "# Roofline table (v5e, Q4_0, n_ctx 512, greedy decode)\n\n"
+            "Generated by `python bench.py --table`. Achieved GB/s uses the\n"
+            "roofline model in bench.py::decode_step_bytes; SoL = 819 GB/s.\n\n"
+            + table + "\n"
+        )
+    log("wrote BENCH_TABLE.md")
+    return rows
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
+    ap.add_argument("--batch", type=int, default=1, help="decode batch size")
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--table", action="store_true",
+                    help="sweep the roofline grid and write BENCH_TABLE.md")
+    args = ap.parse_args()
+
+    if args.table:
+        rows = run_table(args.n_ctx)
+        head = next((r for r in rows if r["model"] == "7B" and r["batch"] == 1
+                     and r["kv"] == "bfloat16"), rows[0] if rows else None)
+        print(json.dumps({
+            "metric": "LLaMA-7B Q4_0 single-stream decode throughput",
+            "value": head["tok_s"] if head else 0,
+            "unit": "tok/s/chip",
+            "vs_baseline": round((head["tok_s"] if head else 0) / BASELINE_TOK_S, 2),
+            "table": [{k: v for k, v in r.items() if k != "params"} for r in rows],
+        }))
+        return
+
+    r = run_config(args.model, args.batch, args.n_ctx, args.kv_dtype)
     print(
         json.dumps(
             {
                 "metric": (
-                    f"LLaMA-{model} Q4_0 "
-                    + ("single-stream" if batch == 1 else f"batch-{batch}")
+                    f"LLaMA-{args.model} Q4_0 "
+                    + ("single-stream" if args.batch == 1 else f"batch-{args.batch}")
                     + " decode throughput"
                 ),
-                "value": round(tok_s, 2),
+                "value": r["tok_s"],
                 "unit": "tok/s/chip",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 2),
-                "achieved_gbps": round(gbps),
-                "pct_speed_of_light": round(gbps / V5E_HBM_GBPS * 100),
+                "vs_baseline": round(r["tok_s"] / BASELINE_TOK_S, 2),
+                "achieved_gbps": r["gbps"],
+                "pct_speed_of_light": r["pct_sol"],
             }
         )
     )

@@ -51,6 +51,9 @@ _ENV_BK = int(os.environ.get("LLAMAVK_KV_BLOCK", "0"))
 # cross-kernel overlap (the quantized kernel needs them for its shared
 # scale-window RMW). tools/diag_int8_b1.py / ROADMAP item 0.
 _ENV_FORCE_ARB = os.environ.get("LLAMAVK_FORCE_ARB", "") == "1"
+# Diagnostic override for the quantized-decode heads-per-program default
+# (0 = keep the built-in default). Import-time read, same rule as above.
+_ENV_HG_Q = int(os.environ.get("LLAMAVK_HG_Q", "0"))
 
 
 def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
@@ -681,7 +684,7 @@ def flash_attention(
     hg = heads_per_program
     if hg is None:
         if quantized:
-            hg = 32 if bt <= 16 else 8
+            hg = (_ENV_HG_Q or 32) if bt <= 16 else 8
         else:
             hg = 8 if bt <= 16 else 1
     while h % hg:
@@ -853,7 +856,7 @@ def flash_attention_update(
     hg = heads_per_program
     if hg is None:
         if quantized:
-            hg = 32 if bt <= 16 else 8
+            hg = (_ENV_HG_Q or 32) if bt <= 16 else 8
         else:
             hg = 8 if bt <= 16 else 1
     while h % hg:

@@ -396,9 +396,14 @@ _ENV_BN = int(os.environ.get("LLAMAVK_Q4_BN", "0"))
 
 
 def _pick_bn(b: int) -> int:
-    """Default N-tile request for a flattened batch of b rows (env wins)."""
+    """Default N-tile request for a flattened batch of b rows (env wins).
+
+    `b` is RESERVED for the future per-(batch, shape) table described above
+    — every measured config so far picks the same 512, so it is unused."""
     del b
     return _ENV_BN or 512
+
+
 _ENV_BB = int(os.environ.get("LLAMAVK_Q4_BB", "512"))
 _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32

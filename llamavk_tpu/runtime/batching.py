@@ -30,6 +30,7 @@ from ..models.llama import (
     KVCache, LlamaParams, ModelConfig, init_kv_cache, init_paged_kv_cache,
     llama_forward,
 )
+from ..utils.jitopts import decode_jit
 from .speculative import assemble_emitted, first_reject, lookup_draft_batched
 from .sampling import SamplerParams, probs_batched_dyn, sample_tokens_batched
 
@@ -153,7 +154,7 @@ class BatchedEngine:
         # across engine instances (see ops/flash_attn._ENV_BK note)
         kvb = bcfg.kv_block
 
-        @jax.jit
+        @decode_jit
         def _prefill(params, tokens, cacheN, n_past, last_idx):
             # batched admission prefill: N prompts (same bucket length) in one
             # program; per-row true final positions via vector last_idx.
@@ -185,7 +186,7 @@ class BatchedEngine:
             )
 
 
-        @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
+        @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode(params, cache, toks0, last, keys, n_past, top_p, temp, penalty,
                     n_steps, top_k):
             def body(state, _):
@@ -208,7 +209,7 @@ class BatchedEngine:
             )
             return out.T, cache, last, keys  # out: [B, n_steps]
 
-        @partial(jax.jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
+        @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode_paged(params, cache, table, toks0, last, keys, n_past,
                           top_p, temp, penalty, n_steps, top_k):
             # plain decode block through the block table (the pool cache is
@@ -234,7 +235,7 @@ class BatchedEngine:
             )
             return out.T, cache, last, keys
 
-        @partial(jax.jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
+        @partial(decode_jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
         def _admit_chunk_paged(params, cache, toks, n_past0, last_idx,
                                seeds, last_windows, top_p, temp, penalty,
                                table, n, top_k):
@@ -260,7 +261,7 @@ class BatchedEngine:
         self._admit_chunk_paged = _admit_chunk_paged
 
         @partial(
-            jax.jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
+            decode_jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
         )
         def _decode_lookup(params, cache, toks0, ctx, n_past, n_steps, gamma):
             # batched prompt-lookup speculation (greedy): per row, draft the
@@ -292,7 +293,7 @@ class BatchedEngine:
             return em, cnt, toks, cache, ctx, n_past
 
         @partial(
-            jax.jit,
+            decode_jit,
             static_argnames=("n_steps", "gamma", "top_k"),
             donate_argnums=(1, 3),
         )
@@ -381,7 +382,7 @@ class BatchedEngine:
 
         self._decode_lookup_sampled = _decode_lookup_sampled
 
-        @jax.jit
+        @decode_jit
         def _ctx_write(ctx, rows, slots):
             # ONE dispatch seeds every admitted row (ctx is small, so the
             # scatter is cheap — unlike the multi-GB cache, where per-row
@@ -411,7 +412,7 @@ class BatchedEngine:
             self.pfx_id = np.zeros(b, np.int32)
 
         @partial(
-            jax.jit, static_argnames=("n_steps", "top_k"),
+            decode_jit, static_argnames=("n_steps", "top_k"),
             donate_argnums=(1, 3, 4),
         )
         def _decode_shared(params, cache, toks0, last, keys, n_past, top_p,
@@ -441,7 +442,7 @@ class BatchedEngine:
             return out.T, cache, last, keys
 
         @partial(
-            jax.jit, static_argnames=("n", "top_k", "scratch_len"),
+            decode_jit, static_argnames=("n", "top_k", "scratch_len"),
             donate_argnums=(1,),
         )
         def _admit_chunk_shared(params, cache, toks, pfx_len_s, last_idx,
@@ -476,7 +477,7 @@ class BatchedEngine:
             )
             return cache, ids
 
-        @jax.jit
+        @decode_jit
         def _pool_write(pk, pv, ck, cv, pid):
             zero = (jnp.int32(0),)
             at = (jnp.int32(0), pid) + (jnp.int32(0),) * 3
@@ -492,7 +493,7 @@ class BatchedEngine:
         bcfg_ = self.bcfg
 
         @partial(
-            jax.jit,
+            decode_jit,
             static_argnames=("n", "top_k", "prefixed", "scratch_len"),
             donate_argnums=(1,),
         )
@@ -539,7 +540,7 @@ class BatchedEngine:
             )
             return cache, ids
 
-        @partial(jax.jit, donate_argnums=(1,))
+        @partial(decode_jit, donate_argnums=(1,))
         def _prefill_paged(params, cache, toks, n_past0, table):
             _, cache, _ = llama_forward(
                 params, toks, cache, n_past0, cfg_, kv_block=kvb, page_table=table

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from ..utils.jitopts import decode_jit
 from .sampling import SamplerParams, sample_token
 
 
@@ -100,7 +101,7 @@ def make_decode_block(cfg: ModelConfig, ring_keep: int = 0,
     feeds the next iteration without leaving the device.
     """
 
-    @partial(jax.jit, static_argnames=("sp", "n_steps"), donate_argnums=(2, 3, 4))
+    @partial(decode_jit, static_argnames=("sp", "n_steps"), donate_argnums=(2, 3, 4))
     def decode_block(params, tok0, cache, last_tokens, key, n_past, sp, n_steps):
         def scan_body(state, i):
             tok, cache, last, key = state
@@ -152,7 +153,7 @@ class Engine:
         if ggml_rounding is not None and attn_impl == "auto":
             attn_impl = "einsum"
 
-        @partial(jax.jit, static_argnames=("logits_all",))
+        @partial(decode_jit, static_argnames=("logits_all",))
         def _prefill(params, tokens, cache, n_past, last_idx, logits_all=False):
             return llama_forward(
                 params, tokens, cache, n_past, cfg_,

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import KVCache, LlamaParams, ModelConfig, init_kv_cache, llama_forward
+from ..utils.jitopts import decode_jit
 from .sampling import SamplerParams, probs_from_logits
 
 
@@ -53,7 +54,7 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
     -> (toks [n_rounds, gamma], counts [n_rounds], tok, cache_t, cache_d,
         n_past). Row r holds counts[r] valid emitted tokens."""
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3, 4))
+    @partial(decode_jit, static_argnames=("n_rounds",), donate_argnums=(3, 4))
     def spec_block(params_t, params_d, tok0, cache_t, cache_d, n_past, n_rounds):
         def round_body(state, _):
             tok, cache_t, cache_d, n_past = state
@@ -179,7 +180,7 @@ def make_lookup_decode_block(cfg_t: ModelConfig, gamma: int, n_ctx: int):
     where ctx is the [n_ctx] int32 device-side token history (rows < n_past
     valid)."""
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
+    @partial(decode_jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_block(params_t, tok0, ctx, cache_t, n_past, n_rounds):
         def round_body(state, _):
             tok, ctx, cache_t, n_past = state
@@ -225,7 +226,7 @@ def make_lookup_sample_block(cfg_t: ModelConfig, gamma: int, n_ctx: int,
     repeat_penalty is not folded in (callers assert it off): its window
     would have to evolve inside the round."""
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
+    @partial(decode_jit, static_argnames=("n_rounds",), donate_argnums=(2, 3))
     def lookup_sample_block(params_t, tok0, ctx, cache_t, n_past, key,
                             n_rounds):
         def round_body(state, _):
@@ -293,7 +294,7 @@ def make_spec_sample_block(cfg_t, cfg_d, gamma, sp_t: SamplerParams,
     window would have to evolve inside the round on both models identically.
     """
 
-    @partial(jax.jit, static_argnames=("n_rounds",), donate_argnums=(3, 4))
+    @partial(decode_jit, static_argnames=("n_rounds",), donate_argnums=(3, 4))
     def spec_sample_block(params_t, params_d, tok0, cache_t, cache_d, n_past,
                           key, n_rounds):
         def round_body(state, _):
@@ -381,7 +382,7 @@ class SpeculativeEngine:
             # params is an ARGUMENT: closure capture would bake multi-GB
             # weights into the program as constants (and the axon AOT path
             # would serialize them through the tunnel on every compile)
-            @jax.jit
+            @decode_jit
             def _prefill(params, tokens, cache, last_idx):
                 logits, cache, _ = llama_forward(
                     params, tokens, cache, jnp.int32(0), cfg, last_idx=last_idx
@@ -519,7 +520,7 @@ class LookupEngine:
         self._block = make_lookup_decode_block(cfg, scfg.gamma, scfg.n_ctx)
         self._sample_blocks: dict = {}  # sp -> compiled sampled block
 
-        @jax.jit
+        @decode_jit
         def _prefill(params, tokens, cache, last_idx):
             logits, cache, _ = llama_forward(
                 params, tokens, cache, jnp.int32(0), cfg, last_idx=last_idx
