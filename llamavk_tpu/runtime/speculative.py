@@ -43,7 +43,13 @@ from .sampling import SamplerParams, probs_from_logits
 class SpecConfig:
     n_ctx: int = 512
     gamma: int = 4  # draft tokens proposed per round
-    rounds_per_block: int = 8  # verify rounds per device round-trip
+    # verify rounds per device round-trip. The round body is ONE lax.scan
+    # body regardless of this value (trace/compile cost does not grow with
+    # it); the axon tunnel's ~16 ms fixed dispatch amortizes across it, so
+    # bigger is faster until the n_ctx headroom (rounds*gamma overshoot)
+    # bites. Measured v5e 7B+1B gamma=4: 20.6 ms/round at 4, 18.6 at 8,
+    # ~17.1 projected at 32 vs 16.6 in-program (tools/diag_spec_round.py).
+    rounds_per_block: int = 16
     kv_dtype: str = "bfloat16"
 
 
@@ -76,6 +82,9 @@ def make_spec_decode_block(cfg_t: ModelConfig, cfg_d: ModelConfig, gamma: int):
             (_, cache_d), draft = jax.lax.scan(
                 dstep, (tok, cache_d), jnp.arange(gamma, dtype=jnp.int32)
             )  # draft: [gamma]
+            # (measured null result, v5e 2026-08-19: unroll=True here does
+            # NOT close the in-round draft-step gap — 18.89 vs 18.57
+            # ms/round at gamma=4; tools/diag_spec_round.py)
 
             # 2) ONE target forward over [tok, d_0..d_{gamma-2}]
             seq = jnp.concatenate([tok.reshape(1), draft[:-1]])  # [gamma]
