@@ -183,20 +183,34 @@ def init_kv_cache(
 
 
 def init_paged_kv_cache(
-    cfg: ModelConfig, n_pages: int, page_size: int,
+    cfg: ModelConfig, n_pages: int, page_size: int, dtype=jnp.bfloat16,
     n_head_local: int | None = None,
 ) -> KVCache:
     """Paged KV pool [L, NP, H, PS, D]: fixed-size pages shared by every
     request slot, addressed through per-row block tables (runtime/paged.py;
-    pass `page_table` to llama_forward). bf16 only (v1). Page size must be a
-    multiple of 8 (the bf16 RMW window alignment) and of every admission
-    chunk size it must contain — powers of two >= 64 are the natural
-    choice."""
+    pass `page_table` to llama_forward). Page size must be a multiple of 8
+    (the bf16 RMW window alignment; 32 for int8 — its Mosaic tile) and of
+    every admission chunk size it must contain — powers of two >= 64 are
+    the natural choice.
+
+    dtype=int8 pages the per-row scale planes too: [L, NP, PS, Hpad] pools
+    addressed through the same block table as the data pages."""
     h = cfg.n_head if n_head_local is None else n_head_local
-    assert page_size % 8 == 0
+    dtype = jnp.dtype(dtype)
+    extra = {}
+    if dtype == jnp.int8:
+        assert page_size % 32 == 0, "int8 page_size: multiple of 32"
+        h_pad = -(-h // 128) * 128  # lane-padded, as init_kv_cache
+        sshape = (cfg.n_layer, n_pages, page_size, h_pad)
+        extra.update(
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32),
+        )
+    else:
+        assert page_size % 8 == 0
     shape = (cfg.n_layer, n_pages, h, page_size, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, jnp.bfloat16),
-                   v=jnp.zeros(shape, jnp.bfloat16))
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   **extra)
 
 
 def ring_phys(pos: jax.Array, n_keep: int, s: int) -> jax.Array:
@@ -399,9 +413,7 @@ def llama_forward(
 
     paged = page_table is not None
     if paged:
-        assert cache.pos is None and not cache.quantized, (
-            "paged KV: bf16 non-ring pools only (v1)"
-        )
+        assert cache.pos is None, "paged KV: non-ring pools only"
         assert prefix_kv is None, "paged KV and prefix pool are exclusive"
         assert pp_axis is None and tp_axis is None, (
             "paged KV: single-replica forward only (v1)"
@@ -518,6 +530,13 @@ def llama_forward(
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
                     batch_offset=boff_l, ring_bounded=True,
                     block_k=kv_block or 256,
+                    # paged: cap the query block at the page size so a write
+                    # block never straddles a page (see the bf16 call below)
+                    **(
+                        {"page_table": page_table,
+                         "block_t": min(256, ck.shape[3])}
+                        if paged else {}
+                    ),
                 )
             else:
                 attn, ck, cv = flash_attention_update(

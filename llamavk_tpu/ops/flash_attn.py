@@ -101,7 +101,7 @@ def attention_ref(q, k, v, n_past):
 
 
 def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
-                   paged: bool = False,
+                   paged: bool = False, straddle: bool = False,
                    block_t: int, block_k: int, scale: float,
                    ring_bounded: bool = False, pblock_k: int = 0):
     """Fused cache-write + attention: merge this program's new K/V rows into
@@ -173,9 +173,12 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
 
     if paged:
         # block-table indirection: the logical write row `start` lives in
-        # page ptab[b, start // PS] at in-page offset start % PS. The RMW
-        # window stays inside that one page (caller invariant: power-of-two
-        # admission chunking means a t-block never straddles a page).
+        # page ptab[b, start // PS] at in-page offset start % PS. Without
+        # `straddle`, the RMW window stays inside that one page (caller
+        # invariant: power-of-two admission chunking means a t-block never
+        # straddles a page). With `straddle` (multi-token speculative
+        # verify at arbitrary n_past), rows past the page end spill into
+        # the NEXT logical page via a second RMW window below.
         ps = s_total  # cache memref is the page pool [L, NP, H, PS, D]
         pidx = start // ps
         page = ptab_ref[babs, pidx]
@@ -183,6 +186,14 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
         win0 = jnp.minimum((inpage // step) * step, ps - w)
         win0 = pl.multiple_of(win0, step)
         off = inpage - win0
+        if straddle:
+            # rows [bt - c_over, bt) belong to page B; c_over == 0 when the
+            # block fits page A (pidx2 then reads this slot's own next table
+            # entry or — past the mapped range — the reserved trash page 0,
+            # and window B rewrites it unchanged)
+            c_over = jnp.maximum(inpage + bt - ps, 0)
+            pidx2 = jnp.minimum((start + bt - 1) // ps, ptab_ref.shape[1] - 1)
+            page2 = ptab_ref[babs, pidx2]
     else:
         win0 = jnp.minimum((start // step) * step, s_total - w)
         win0 = pl.multiple_of(win0, step)
@@ -212,14 +223,24 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
     vr.start()
 
     if quantized:
-        # scale RMW (8-aligned window along S of the [S, H] plane)
+        # scale RMW (8-aligned window along S of the [S, H] plane; paged:
+        # the window lives inside page ptab[b, start // PS] of the
+        # [L, NP, PS, H] scale pool — same indirection as the data pages)
         ws = kswin.shape[0]
-        swin0 = jnp.minimum((start // 8) * 8, s_total - ws)
+        s_rows = ks_out.shape[2]  # S (flat) or PS (paged pool)
+        if paged:
+            sp_idx = start // s_rows
+            srow = ptab_ref[babs, sp_idx]
+            sstart = start - sp_idx * s_rows
+        else:
+            srow = babs
+            sstart = start
+        swin0 = jnp.minimum((sstart // 8) * 8, s_rows - ws)
         swin0 = pl.multiple_of(swin0, 8)
-        soff = start - swin0
+        soff = sstart - swin0
 
         def scale_at(src):
-            return src.at[layer, babs, pl.ds(swin0, ws), :]
+            return src.at[layer, srow, pl.ds(swin0, ws), :]
 
         ksr = pltpu.make_async_copy(scale_at(ks_out), kswin, swsems.at[0])
         vsr = pltpu.make_async_copy(scale_at(vs_out), vswin, swsems.at[1])
@@ -239,8 +260,28 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             vwin[:, o : o + bt, :] = jnp.where(commit, v_rows, vwin[:, o : o + bt, :])
         return _do
 
+    def merge_data_head(o):
+        # straddle window A: only rows [0, bt - c_over) land here; the write
+        # offset can reach w - 1 (row bt-1 spilled to page B), so branches
+        # truncate the slice to the window end and mask the spilled rows
+        m = min(bt, w - o)
+
+        def _do():
+            jm = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
+            keep = commit & (jm < bt - c_over)
+            kwin[:, o : o + m, :] = jnp.where(
+                keep, k_rows[:, :m, :], kwin[:, o : o + m, :]
+            )
+            vwin[:, o : o + m, :] = jnp.where(
+                keep, v_rows[:, :m, :], vwin[:, o : o + m, :]
+            )
+        return _do
+
     # off is dynamic but bounded: static-slice merge selected by switch
-    jax.lax.switch(off, [merge_data(o) for o in range(w - bt + 1)])
+    if paged and straddle:
+        jax.lax.switch(off, [merge_data_head(o) for o in range(w)])
+    else:
+        jax.lax.switch(off, [merge_data(o) for o in range(w - bt + 1)])
 
     writes = [
         pltpu.make_async_copy(kwin, data_at(k_out), wsems.at[0]),
@@ -286,6 +327,44 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
         c.start()
     for c in writes:
         c.wait()
+
+    if paged and straddle:
+        # window B: the spilled rows [bt - c_over, bt) land at the START of
+        # page B (in-page rows [0, c_over)). Reuses the window buffers after
+        # window A's write-back completed above; when c_over == 0 this
+        # rewrites page B's head window unchanged (benign — it is either
+        # this slot's own next page or the reserved trash page).
+        def dataB_at(src):
+            return src.at[layer, page2, pl.ds(hb * hg, hg), pl.ds(0, w), :]
+
+        krB = pltpu.make_async_copy(dataB_at(k_out), kwin, wsems.at[0])
+        vrB = pltpu.make_async_copy(dataB_at(v_out), vwin, wsems.at[1])
+        krB.start()
+        vrB.start()
+        krB.wait()
+        vrB.wait()
+
+        def merge_over(c):
+            def _do():
+                if c:
+                    kwin[:, 0:c, :] = jnp.where(
+                        commit, k_rows[:, bt - c :, :], kwin[:, 0:c, :]
+                    )
+                    vwin[:, 0:c, :] = jnp.where(
+                        commit, v_rows[:, bt - c :, :], vwin[:, 0:c, :]
+                    )
+            return _do
+
+        jax.lax.switch(c_over, [merge_over(c) for c in range(bt)])
+        wB = [
+            pltpu.make_async_copy(kwin, dataB_at(k_out), wsems.at[0]),
+            pltpu.make_async_copy(vwin, dataB_at(v_out), wsems.at[1]),
+        ]
+        for c in wB:
+            c.start()
+        for c in wB:
+            c.wait()
+
     _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
@@ -406,12 +485,16 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         )
 
     def scale_dmas(slot, i):
+        # paged: scale pool [L, NP, PS, H] — logical block i's scale rows
+        # live in the same page as its data rows
+        def src(s_hbm):
+            if paged:
+                return s_hbm.at[layer, ptab_ref[babs, i // bpp],
+                                pl.ds((i % bpp) * block_k, block_k), :]
+            return s_hbm.at[layer, babs, pl.ds(i * block_k, block_k), :]
+
         return [
-            pltpu.make_async_copy(
-                s_hbm.at[layer, babs, pl.ds(i * block_k, block_k), :],
-                sbuf.at[slot],
-                ssems.at[j, slot],
-            )
+            pltpu.make_async_copy(src(s_hbm), sbuf.at[slot], ssems.at[j, slot])
             for j, (s_hbm, sbuf) in enumerate(((ks_hbm, ksbuf), (vs_hbm, vsbuf)))
         ]
 
@@ -648,9 +731,9 @@ def flash_attention(
     assert not (prefix and (quantized or ring)), (
         "shared-prefix attention: bf16 non-ring caches only (v1)"
     )
-    assert not (paged and (quantized or ring or prefix)), (
-        "paged KV: bf16 non-ring caches, no prefix-pool pre-pass (v1 — "
-        "prefix sharing happens through the block table instead)"
+    assert not (paged and (ring or prefix)), (
+        "paged KV: non-ring caches, no prefix-pool pre-pass (prefix "
+        "sharing happens through the block table instead)"
     )
     if layer_idx is None:
         k = k[None]
@@ -783,7 +866,8 @@ def flash_attention(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_t", "block_k", "heads_per_program", "ring_bounded"),
+    static_argnames=("block_t", "block_k", "heads_per_program", "ring_bounded",
+                     "page_straddle"),
 )
 def flash_attention_update(
     q: jax.Array,  # [B, T, H, D]
@@ -810,7 +894,13 @@ def flash_attention_update(
     page_table: jax.Array | None = None,  # [B, MAXLB] int32: k/v are then a
     # PAGE POOL [L, NP, H, PS, D]; writes and reads address logical block j
     # of row b through page_table[b, j]. Caller invariant: every t-block
-    # write [n_past+t0, +bt) stays within one page (power-of-two chunking).
+    # write [n_past+t0, +bt) stays within one page (power-of-two chunking)
+    # — UNLESS page_straddle is set.
+    page_straddle: bool = False,  # paged multi-token writes at ARBITRARY
+    # n_past (speculative verify): rows past the page end spill into the
+    # next logical page via a second RMW window. Caller invariant:
+    # n_past + T <= MAXLB * PS (the spill page's table entry must exist;
+    # unmapped entries hold the reserved trash page). bf16 pools only (v1).
 ):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
@@ -832,8 +922,11 @@ def flash_attention_update(
     assert not (prefix and (quantized or ring)), (
         "shared-prefix attention: bf16 non-ring caches only (v1)"
     )
-    assert not (paged and (quantized or ring or prefix)), (
-        "paged KV: bf16 non-ring caches, no prefix-pool pre-pass (v1)"
+    assert not (paged and (ring or prefix)), (
+        "paged KV: non-ring caches, no prefix-pool pre-pass"
+    )
+    assert not (page_straddle and (quantized or not paged)), (
+        "page_straddle: bf16 paged pools only (v1)"
     )
     b, t, h, d = q.shape
     s = k.shape[3]
@@ -878,7 +971,8 @@ def flash_attention_update(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(
         _update_kernel, quantized=quantized, ring=ring, prefix=prefix,
-        paged=paged, block_t=bt, block_k=bk, scale=1.0 / (d**0.5),
+        paged=paged, straddle=page_straddle, block_t=bt, block_k=bk,
+        scale=1.0 / (d**0.5),
         ring_bounded=ring_bounded, pblock_k=pbk,
     )
     # operand assembly (must mirror _update_kernel's unpacking order):

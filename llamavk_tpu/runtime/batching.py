@@ -84,9 +84,11 @@ class BatchConfig:
     # max_batch x n_ctx), admission prefills straight into the slot's pages
     # (no scratch cache, no insert copies), prefix pages are shared
     # read-only across slots, and a full pool preempts the youngest request
-    # (recompute on re-admission) instead of failing. bf16 KV only (v1);
-    # excludes shared_prefix (the block table IS the sharing mechanism) and
-    # lookup_gamma (multi-token verify windows can straddle pages).
+    # (recompute on re-admission) instead of failing. bf16 or int8 KV
+    # (int8 pages the per-row scale planes through the same tables;
+    # page_size must then be a multiple of 32). Excludes shared_prefix (the
+    # block table IS the sharing mechanism) and lookup_gamma (multi-token
+    # verify windows can straddle pages).
     page_size: int = 64  # pool page rows (power of two; n_ctx % page_size == 0)
     n_pages: int = 0  # pool pages; 0 -> max_batch * n_ctx / page_size + 1
     # (the flat footprint — size it SMALLER to oversubscribe slots, which is
@@ -111,14 +113,17 @@ class BatchedEngine:
             ps = bcfg.page_size
             assert ps >= 8 and (ps & (ps - 1)) == 0, "page_size: power of two"
             assert bcfg.n_ctx % ps == 0, "n_ctx must be a multiple of page_size"
-            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
-                "paged KV: bf16 only (v1)"
+            kvd = jnp.dtype(bcfg.kv_dtype)
+            assert kvd in (jnp.bfloat16, jnp.int8), (
+                "paged KV: bf16 or int8 pools"
             )
+            if kvd == jnp.int8:
+                assert ps % 32 == 0, "int8 paged KV needs page_size % 32 == 0"
             assert not bcfg.shared_prefix and bcfg.lookup_gamma == 0, (
                 "paged KV excludes shared_prefix/lookup_gamma (v1)"
             )
             n_pages = bcfg.n_pages or (b * bcfg.n_ctx // ps + 1)
-            self.cache = init_paged_kv_cache(cfg, n_pages, ps)
+            self.cache = init_paged_kv_cache(cfg, n_pages, ps, dtype=kvd)
             alloc = PageAllocator(n_pages)
             # page 0 is the TRASH page: freed slots keep decoding garbage
             # until the block ends, and their zeroed table rows must point

@@ -224,3 +224,107 @@ def test_paged_engine_page_reuse_across_waves(tiny):
         be.run()
         for r, w in zip(reqs, want):
             assert r.generated == w
+
+
+# ---------------------------------------------------------------------------
+# int8 paged pools (paged x quantized composition)
+
+def test_paged_forward_matches_flat_int8(tiny):
+    """int8 paged forward == int8 flat forward with the SAME kv block (32):
+    identical quantization and online-softmax accumulation order."""
+    cfg, params, _ = tiny
+    rng = np.random.default_rng(6)
+    b, ps, maxlb = 2, 32, 2
+    toks = rng.integers(0, cfg.n_vocab, (b, 8)).astype(np.int32)
+
+    flat = init_kv_cache(cfg, b, ps * maxlb, dtype=jnp.int8)
+    pool = init_paged_kv_cache(cfg, n_pages=b * maxlb + 3, page_size=ps,
+                               dtype=jnp.int8)
+    assert pool.quantized and pool.k_scale.shape[1] == b * maxlb + 3
+    perm = rng.permutation(pool.k.shape[1])
+    table = jnp.asarray(perm[: b * maxlb].reshape(b, maxlb).astype(np.int32))
+
+    lf, flat, _ = llama_forward(
+        params, jnp.asarray(toks), flat, jnp.zeros(b, jnp.int32), cfg,
+        kv_block=ps,
+    )
+    lp, pool, _ = llama_forward(
+        params, jnp.asarray(toks), pool, jnp.zeros(b, jnp.int32), cfg,
+        kv_block=ps, page_table=table,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(lp), rtol=2e-2, atol=2e-2
+    )
+
+    n_past = jnp.asarray([8, 8], jnp.int32)
+    tok = jnp.argmax(lp[:, -1], -1).astype(jnp.int32)
+    for _ in range(8):
+        lf, flat, _ = llama_forward(
+            params, tok[:, None], flat, n_past, cfg, kv_block=ps
+        )
+        lp, pool, _ = llama_forward(
+            params, tok[:, None], pool, n_past, cfg, kv_block=ps,
+            page_table=table,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lp), rtol=2e-2, atol=2e-2
+        )
+        assert (np.argmax(np.asarray(lf)[:, -1], -1)
+                == np.argmax(np.asarray(lp)[:, -1], -1)).all()
+        tok = jnp.argmax(lp[:, -1], -1).astype(jnp.int32)
+        n_past = n_past + 1
+
+
+def test_paged_engine_matches_flat_int8(tiny):
+    """int8 paged engine streams == int8 flat engine streams (kv block
+    pinned to the page size on both sides — same f32 summation order)."""
+    cfg, params, _ = tiny
+    subs = [
+        (([5, 9, 2, 30], 6, GREEDY), {}),
+        (([7, 3, 11], 6, GREEDY), {}),
+        (([1, 2, 3, 4, 5, 6], 5,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+        (([42], 6, GREEDY), {}),
+    ]
+    flat = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, kv_dtype="int8", kv_block=32,
+    ))
+    fr = [flat.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    flat.run()
+
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, kv_dtype="int8", paged=True,
+        page_size=32,
+    ))
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, fr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_paged_engine_int8_prefix_and_preemption(tiny):
+    """int8 pools: prefix full-page sharing (data + scale pages aliased) and
+    preempt-recompute both keep greedy streams exact."""
+    cfg, params, _ = tiny
+    prefix = list(range(3, 40))  # 37 tokens: 1 full 32-row page + 5 rem
+    suffixes = [[3, 1], [4, 4, 4], [8]]
+    flat = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, kv_dtype="int8", kv_block=32,
+    ))
+    fp = flat.register_prefix(prefix)
+    fr = [flat.submit(s, 5, GREEDY, ignore_eos=True, prefix=fp)
+          for s in suffixes]
+    flat.run()
+
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, kv_dtype="int8", paged=True,
+        page_size=32, n_pages=7,  # tight pool: exercises preemption too
+    ))
+    pid = be.register_prefix(prefix)
+    assert len(be.prefixes[pid][0]) == 1
+    rs = [be.submit(s, 5, GREEDY, ignore_eos=True, prefix=pid)
+          for s in suffixes]
+    be.run()
+    for a, b in zip(rs, fr):
+        assert a.generated == b.generated
