@@ -1,0 +1,74 @@
+"""Serving CLI — start the HTTP front-end over the continuous-batching
+engine (runtime/server.py). The production counterpart of the reference's
+single-stream interactive `main` (`examples/main/main.cpp:244-457`): many
+concurrent requests share one model replica through continuous batching,
+with optional int8 KV, block-table paged KV, shared-prefix pooling, and
+prompt-lookup speculation — all engine features surface as flags here.
+
+    python -m llamavk_tpu.cli.serve -m model.bin --port 8000 --max-batch 32
+    curl -d '{"prompt": "Hello", "max_tokens": 32}' localhost:8000/v1/completions
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..models import load_model
+from ..runtime.batching import BatchConfig
+from ..runtime.server import LlamaServer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("-c", "--ctx-size", type=int, default=512,
+                    help="per-slot context length")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="concurrent decode slots")
+    ap.add_argument("--block", type=int, default=8,
+                    help="decode steps per device round-trip")
+    ap.add_argument("--admit-chunk", type=int, default=4)
+    ap.add_argument("--kv-dtype", choices=["bfloat16", "int8"],
+                    default="bfloat16")
+    ap.add_argument("--paged", action="store_true",
+                    help="block-table paged KV (pool memory = pages in use)")
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--n-pages", type=int, default=0,
+                    help="pool pages (0 = flat-equivalent footprint); size "
+                    "it smaller to oversubscribe slots")
+    ap.add_argument("--shared-prefix", action="store_true",
+                    help="registered prefixes live in one read-only pool "
+                    "(bf16, non-paged)")
+    ap.add_argument("--prefix-pool", type=int, default=4)
+    ap.add_argument("--prefix-ctx", type=int, default=256)
+    ap.add_argument("--lookup-gamma", type=int, default=0,
+                    help=">0: prompt-lookup speculative decoding")
+    ap.add_argument("--model-name", default=None)
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg, params, tok = load_model(args.model)
+    bcfg = BatchConfig(
+        max_batch=args.max_batch,
+        n_ctx=args.ctx_size,
+        block=args.block,
+        admit_chunk=args.admit_chunk,
+        kv_dtype=args.kv_dtype,
+        paged=args.paged,
+        page_size=args.page_size,
+        n_pages=args.n_pages,
+        shared_prefix=args.shared_prefix,
+        prefix_pool=args.prefix_pool,
+        prefix_ctx=args.prefix_ctx,
+        lookup_gamma=args.lookup_gamma,
+    )
+    server = LlamaServer(cfg, params, tok, bcfg, model_name=args.model_name)
+    server.serve_forever(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
