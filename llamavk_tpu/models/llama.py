@@ -344,6 +344,9 @@ def llama_forward(
     # reference's historyIndex indirection, vulkan/llama-vk.cpp:984-987;
     # runtime/paged.py manages the tables). Caller invariant: every t-block
     # write [n_past+t0, +bt) stays within one page (power-of-two chunking).
+    page_straddle: bool = False,  # paged + multi-token writes at ARBITRARY
+    # n_past (speculative verify): allow a t-block write to cross a page
+    # boundary (second RMW window in the kernel). bf16 pools only.
     kv_block: int = 0,  # cap the flash kernels' KV block (0 = fitted
     # default). Pins the online-softmax accumulation order — a flat cache at
     # kv_block=c sums exactly like a paged pool with page_size=c (see
@@ -415,6 +418,9 @@ def llama_forward(
     if paged:
         assert cache.pos is None, "paged KV: non-ring pools only"
         assert prefix_kv is None, "paged KV and prefix pool are exclusive"
+        assert not (page_straddle and cache.quantized), (
+            "page_straddle: bf16 pools only (v1)"
+        )
         assert pp_axis is None and tp_axis is None, (
             "paged KV: single-replica forward only (v1)"
         )
@@ -548,9 +554,11 @@ def llama_forward(
                     prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
                     # paged: cap the query block at the page size so a write
                     # block never straddles a page (page-aligned n_past +
-                    # power-of-two chunking keep each block in one page)
+                    # power-of-two chunking keep each block in one page) —
+                    # unless page_straddle explicitly allows the spill
                     **(
                         {"page_table": page_table,
+                         "page_straddle": page_straddle,
                          "block_t": min(256, ck.shape[3])}
                         if paged else {}
                     ),

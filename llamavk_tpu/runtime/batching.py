@@ -119,8 +119,13 @@ class BatchedEngine:
             )
             if kvd == jnp.int8:
                 assert ps % 32 == 0, "int8 paged KV needs page_size % 32 == 0"
-            assert not bcfg.shared_prefix and bcfg.lookup_gamma == 0, (
-                "paged KV excludes shared_prefix/lookup_gamma (v1)"
+                assert bcfg.lookup_gamma == 0, (
+                    "paged int8 + lookup_gamma not composed yet (the verify "
+                    "write's page-straddle path is bf16-only)"
+                )
+            assert not bcfg.shared_prefix, (
+                "paged KV excludes shared_prefix (the block table IS the "
+                "sharing mechanism)"
             )
             n_pages = bcfg.n_pages or (b * bcfg.n_ctx // ps + 1)
             self.cache = init_paged_kv_cache(cfg, n_pages, ps, dtype=kvd)
@@ -268,17 +273,23 @@ class BatchedEngine:
         @partial(
             decode_jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
         )
-        def _decode_lookup(params, cache, toks0, ctx, n_past, n_steps, gamma):
+        def _decode_lookup(params, cache, toks0, ctx, n_past, table, n_steps,
+                           gamma):
             # batched prompt-lookup speculation (greedy): per row, draft the
             # continuation of the most recent (prev, tok) 2-gram occurrence
             # in that row's context, verify all gamma positions in one
             # multi-token forward (vector n_past), accept the agreeing
             # prefix. Matcher/assembly shared with runtime/speculative.py.
+            # table != None: paged pool — the gamma-row verify write may
+            # straddle a page boundary (page_straddle spills into the next
+            # mapped page).
             def body(state, _):
                 toks, cache, ctx, n_past = state
                 seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
                 logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, kv_block=kvb, logits_all=True
+                    params, seq, cache, n_past, cfg_, kv_block=kvb,
+                    logits_all=True, page_table=table,
+                    page_straddle=table is not None,
                 )
                 y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
                 k = first_reject(draft == y[:, : gamma - 1])
@@ -303,8 +314,8 @@ class BatchedEngine:
             donate_argnums=(1, 3),
         )
         def _decode_lookup_sampled(params, cache, toks0, ctx, last, keys,
-                                   n_past, top_p, temp, penalty, n_steps,
-                                   gamma, top_k):
+                                   n_past, top_p, temp, penalty, table,
+                                   n_steps, gamma, top_k):
             # sampled lookup speculation, mixed greedy/sampled rows: the
             # deterministic draft d is accepted with prob p_t(d) (greedy rows
             # see a point-mass p_t, so accept == argmax-agreement), rejection
@@ -319,7 +330,9 @@ class BatchedEngine:
                 toks, cache, ctx, last, keys, n_past = state
                 seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
                 logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, kv_block=kvb, logits_all=True
+                    params, seq, cache, n_past, cfg_, kv_block=kvb,
+                    logits_all=True, page_table=table,
+                    page_straddle=table is not None,
                 )
                 pts = []
                 for i in range(gamma):
@@ -777,6 +790,28 @@ class BatchedEngine:
                 self.last_window[slot] = np.roll(self.last_window[slot], -1)
                 self.last_window[slot, -1] = tok
 
+        if self.bcfg.lookup_gamma > 0:
+            # seed the device-side lookup context rows — LOGICAL tokens at
+            # logical positions (prefix + prompt + any recompute-on-
+            # readmission generated tokens); one dispatch per wave
+            rows = np.zeros((len(admitted), self.bcfg.n_ctx), np.int32)
+            slots_a = np.zeros(len(admitted), np.int32)
+            for j, req in enumerate(admitted):
+                pfx_tokens = (
+                    self.prefixes[req.prefix][2] if req.prefix >= 0 else []
+                )
+                # consumed INPUTS only: the admission prefill consumed
+                # generated[:-1] (recompute-on-readmission); the token just
+                # emitted above is cur_tok, fed back in the next round
+                hist = (
+                    pfx_tokens + req.prompt + req.generated[:-1]
+                )[: self.bcfg.n_ctx]
+                rows[j, : len(hist)] = hist
+                slots_a[j] = req.slot
+            self.ctx_dev = self._ctx_write(
+                self.ctx_dev, jnp.asarray(rows), jnp.asarray(slots_a)
+            )
+
     def _admit(self) -> None:
         """Fill free slots from the queue, batching prefills.
 
@@ -1040,12 +1075,10 @@ class BatchedEngine:
         self.queue.insert(0, req)
         self.stats["preempted"] = self.stats.get("preempted", 0) + 1
 
-    def _step_paged(self, room: int) -> list[Request]:
-        """One paged decode block: map this block's write pages up front
-        (preempting the youngest request when the pool runs dry), sync the
-        block table to device if it changed, decode through the table."""
-        n_steps = min(self.bcfg.block, max(1, room))
-        n_steps = 1 << (n_steps.bit_length() - 1)
+    def _ensure_block_pages(self, rows_per_step: int, n_steps: int) -> None:
+        """Map every live slot's write pages for the coming block up front,
+        preempting the youngest request when the pool runs dry; sync the
+        device table if it changed."""
         ps = self.bcfg.page_size
         for slot in range(self.bcfg.max_batch):
             if self.slots[slot] is None:
@@ -1054,7 +1087,8 @@ class BatchedEngine:
                 try:
                     self.pager.ensure(
                         slot,
-                        min(self.bcfg.n_ctx, int(self.n_past[slot]) + n_steps),
+                        min(self.bcfg.n_ctx,
+                            int(self.n_past[slot]) + n_steps * rows_per_step),
                         ps,
                     )
                     break
@@ -1076,6 +1110,14 @@ class BatchedEngine:
         if self.pager.dirty:
             self._table_dev = jnp.asarray(self.pager.table)
             self.pager.dirty = False
+
+    def _step_paged(self, room: int) -> list[Request]:
+        """One paged decode block: map this block's write pages up front
+        (preempting the youngest request when the pool runs dry), sync the
+        block table to device if it changed, decode through the table."""
+        n_steps = min(self.bcfg.block, max(1, room))
+        n_steps = 1 << (n_steps.bit_length() - 1)
+        self._ensure_block_pages(1, n_steps)
 
         t0 = time.perf_counter()
         toks, self.cache, last, self.keys = self._decode_paged(
@@ -1122,9 +1164,16 @@ class BatchedEngine:
     def _step_lookup(self, room: int, g: int) -> list[Request]:
         """One lookup-speculative decode block: n_steps rounds, each emitting
         1..g tokens per row. The submit-time slack guarantee keeps every
-        round's g-row write window inside the slot region."""
+        round's g-row write window inside the slot region. Paged mode maps
+        up to n_steps*g rows of pages per slot up front (preempt-youngest on
+        a dry pool) and verify writes spill across page boundaries through
+        the kernel's page_straddle path."""
         n_steps = min(self.bcfg.block, max(1, room // g))
         n_steps = 1 << (n_steps.bit_length() - 1)
+        table = None
+        if self.bcfg.paged:
+            self._ensure_block_pages(g, n_steps)
+            table = self._table_dev
         sampled = any(
             req is not None and req.sp.temp > 0 for req in self.slots
         )
@@ -1142,6 +1191,7 @@ class BatchedEngine:
                 jnp.asarray(self.top_p),
                 jnp.asarray(self.temp),
                 jnp.asarray(self.penalty),
+                table,
                 n_steps,
                 g,
                 self.bcfg.top_k,
@@ -1155,6 +1205,7 @@ class BatchedEngine:
                     jnp.asarray(self.cur_tok),
                     self.ctx_dev,
                     jnp.asarray(self.n_past),
+                    table,
                     n_steps,
                     g,
                 )
@@ -1190,6 +1241,8 @@ class BatchedEngine:
                 finished.append(req)
                 self.slots[slot] = None
                 self.n_past[slot] = 0
+                if self.bcfg.paged:
+                    self.pager.free_slot(slot)
                 if self.bcfg.shared_prefix:
                     self.pfx_len[slot] = 0
                     self.pfx_id[slot] = 0

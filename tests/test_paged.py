@@ -328,3 +328,62 @@ def test_paged_engine_int8_prefix_and_preemption(tiny):
     be.run()
     for a, b in zip(rs, fr):
         assert a.generated == b.generated
+
+
+# ---------------------------------------------------------------------------
+# paged x lookup speculation (verify writes straddle page boundaries)
+
+def _flat_lookup_streams(cfg, params, subs, gamma, n_ctx=64):
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=n_ctx, block=4, kv_block=8, lookup_gamma=gamma,
+    ))
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    return [r.generated for r in reqs]
+
+
+def test_paged_engine_lookup_matches_flat(tiny):
+    """Paged + prompt-lookup speculation: greedy and seeded-sampled streams
+    equal the flat lookup engine's (same kv block => same accumulation
+    order; the gamma-row verify writes cross page boundaries through the
+    kernel's page_straddle path)."""
+    cfg, params, _ = tiny
+    subs = [
+        (([5, 9, 2, 30, 5, 9], 8, GREEDY), {}),
+        (([7, 3, 11, 7, 3], 8, GREEDY), {}),
+        (([1, 2, 3, 1, 2, 3], 6,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+    ]
+    g = 3
+    want = _flat_lookup_streams(cfg, params, subs, g)
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, paged=True, page_size=8,
+        lookup_gamma=g,
+    ))
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_paged_engine_lookup_preemption(tiny):
+    """Lookup + tight pool: preempt-youngest + recompute-on-readmission
+    (generated tokens re-enter the prefill, ctx rows reseeded) keeps greedy
+    streams exact."""
+    cfg, params, _ = tiny
+    prompts = [[5, 9, 2, 30, 5, 9], [7, 3, 11, 7], [1, 2, 3, 1]]
+    g = 3
+    want = _flat_lookup_streams(
+        cfg, params, [((p, 16, GREEDY), {}) for p in prompts], g
+    )
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=3, n_ctx=64, block=4, paged=True, page_size=8,
+        lookup_gamma=g, n_pages=9,
+    ))
+    reqs = [be.submit(p, 16, GREEDY, ignore_eos=True) for p in prompts]
+    be.run()
+    assert be.stats.get("preempted", 0) > 0
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
