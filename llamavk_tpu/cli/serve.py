@@ -45,13 +45,23 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--prefix-ctx", type=int, default=256)
     ap.add_argument("--lookup-gamma", type=int, default=0,
                     help=">0: prompt-lookup speculative decoding")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree: serve one TP replica over "
+                    "the first tp devices (Megatron split; weights loaded "
+                    "with matching chunk packing)")
     ap.add_argument("--model-name", default=None)
     return ap
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    cfg, params, tok = load_model(args.model)
+    cfg, params, tok = load_model(args.model, tp=args.tp)
+    mesh = None
+    if args.tp > 1:
+        from ..parallel import make_mesh
+        import jax
+
+        mesh = make_mesh(tp=args.tp, dp=1, devices=jax.devices()[: args.tp])
     bcfg = BatchConfig(
         max_batch=args.max_batch,
         n_ctx=args.ctx_size,
@@ -66,7 +76,8 @@ def main(argv=None):
         prefix_ctx=args.prefix_ctx,
         lookup_gamma=args.lookup_gamma,
     )
-    server = LlamaServer(cfg, params, tok, bcfg, model_name=args.model_name)
+    server = LlamaServer(cfg, params, tok, bcfg, model_name=args.model_name,
+                         mesh=mesh)
     server.serve_forever(args.host, args.port)
 
 

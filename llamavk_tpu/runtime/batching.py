@@ -100,12 +100,36 @@ class BatchConfig:
 
 
 class BatchedEngine:
-    """Continuous-batching decode engine over one model replica."""
+    """Continuous-batching decode engine over one model replica — or, with
+    `mesh`, over a tensor-parallel replica spanning the mesh's `tp` axis
+    (Megatron split per parallel/sharding.py; collectives ride ICI inside
+    the jitted decode blocks). Weights must then be loaded with the same
+    `tp=` chunk packing (params_from_reader / synthetic_params) and are
+    device_put with the split-table shardings here."""
 
-    def __init__(self, cfg: ModelConfig, params: LlamaParams, bcfg: BatchConfig = BatchConfig()):
+    def __init__(self, cfg: ModelConfig, params: LlamaParams,
+                 bcfg: BatchConfig = BatchConfig(), mesh=None):
         self.cfg = cfg
-        self.params = params
         self.bcfg = bcfg
+        self.mesh = mesh
+        tp_size = int(mesh.shape["tp"]) if mesh is not None else 1
+        if mesh is not None:
+            from ..parallel.sharding import param_pspecs, shard_params
+
+            assert int(mesh.shape.get("dp", 1)) == 1 and int(
+                mesh.shape.get("pp", 1)
+            ) == 1, "BatchedEngine mesh: tp-only (v1); dp = run more engines"
+            assert not bcfg.paged and not bcfg.shared_prefix and (
+                bcfg.lookup_gamma == 0
+            ), "mesh serving: plain/prefix-cached decode only (v1)"
+            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
+                "mesh serving: bf16 KV only (v1 — the int8 scale planes' "
+                "lane padding differs between global-sharded and local "
+                "scratch caches)"
+            )
+            assert cfg.n_head % tp_size == 0, (cfg.n_head, tp_size)
+            params = shard_params(params, mesh)
+        self.params = params
         b, w = bcfg.max_batch, bcfg.repeat_last_n
         if bcfg.paged:
             from .paged import PageAllocator, SlotPages
@@ -142,6 +166,10 @@ class BatchedEngine:
             self.cache = init_kv_cache(
                 cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype)
             )
+            if mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                self.cache = shard_cache(self.cache, mesh)
         self.n_past = np.zeros(b, np.int32)
         self.cur_tok = np.zeros(b, np.int32)
         self.last_window = np.full((b, w), -1, np.int32)
@@ -164,15 +192,53 @@ class BatchedEngine:
         # across engine instances (see ops/flash_attn._ENV_BK note)
         kvb = bcfg.kv_block
 
-        @decode_jit
-        def _prefill(params, tokens, cacheN, n_past, last_idx):
+        # tensor-parallel plumbing: the forward-running closures below route
+        # through _fwd (adds tp_axis under a mesh) and, when a mesh is given,
+        # wrap their bodies in shard_map with the split-table specs. Every
+        # non-forward input/output is replicated (R): sampling runs
+        # identically on every device over the all-gathered logits.
+        tp_axis = "tp" if mesh is not None else None
+        h_local = cfg.n_head // tp_size
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.sharding import cache_pspec, param_pspecs
+
+            pspec_tree = param_pspecs(params)
+            cspec_tree = cache_pspec(
+                quantized=jnp.dtype(bcfg.kv_dtype) == jnp.int8
+            )
+            R = P()
+
+        def _shmap(body, in_specs, out_specs):
+            return jax.shard_map(
+                body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+
+        def _fwd(p, tokens, cache, n_past, **kw):
+            return llama_forward(
+                p, tokens, cache, n_past, cfg_, kv_block=kvb,
+                tp_axis=tp_axis, tp_size=tp_size, **kw
+            )
+
+        def _prefill_body(params, tokens, cacheN, n_past, last_idx):
             # batched admission prefill: N prompts (same bucket length) in one
             # program; per-row true final positions via vector last_idx.
             # n_past > 0 continues a seeded shared prefix (prefix caching).
-            logits, cacheN, _ = llama_forward(
-                params, tokens, cacheN, n_past, cfg_, kv_block=kvb, last_idx=last_idx
+            logits, cacheN, _ = _fwd(
+                params, tokens, cacheN, n_past, last_idx=last_idx
             )
             return logits[:, 0, :], cacheN  # [N, V]
+
+        if mesh is None:
+            _prefill = decode_jit(_prefill_body)
+        else:
+            _prefill = decode_jit(_shmap(
+                _prefill_body,
+                in_specs=(pspec_tree, R, cspec_tree, R, R),
+                out_specs=(R, cspec_tree),
+            ))
 
         def slice_cache(c, s_len):
             # first s_len POSITION rows of every cache plane (k/v keep S at
@@ -199,25 +265,40 @@ class BatchedEngine:
         @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode(params, cache, toks0, last, keys, n_past, top_p, temp, penalty,
                     n_steps, top_k):
-            def body(state, _):
-                toks, cache, last, keys, n_past = state
-                logits, cache, _ = llama_forward(
-                    params, toks[:, None], cache, n_past, cfg_,
-                    kv_block=kvb,
-                )
-                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
-                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
-                nxt = sample_tokens_batched(
-                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
-                )
-                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
-                return (nxt, cache, last, keys2, n_past + 1), nxt
+            # PRNG keys cross the (optional) shard_map boundary as raw key
+            # data — typed key arrays are not shard_map operands
+            def body_all(params, cache, toks0, last, kd, n_past, top_p, temp,
+                         penalty):
+                keys = jax.random.wrap_key_data(kd)
 
-            state = (toks0, cache, last, keys, n_past)
-            (toks, cache, last, keys, n_past), out = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
-            return out.T, cache, last, keys  # out: [B, n_steps]
+                def body(state, _):
+                    toks, cache, last, keys, n_past = state
+                    logits, cache, _ = _fwd(params, toks[:, None], cache, n_past)
+                    keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                    subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                    nxt = sample_tokens_batched(
+                        logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
+                    )
+                    last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                    return (nxt, cache, last, keys2, n_past + 1), nxt
+
+                state = (toks0, cache, last, keys, n_past)
+                (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                    body, state, None, length=n_steps
+                )
+                return out.T, cache, last, jax.random.key_data(keys)
+
+            kd = jax.random.key_data(keys)
+            args = (params, cache, toks0, last, kd, n_past, top_p, temp, penalty)
+            if mesh is None:
+                out, cache, last, kd = body_all(*args)
+            else:
+                out, cache, last, kd = _shmap(
+                    body_all,
+                    in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R),
+                    out_specs=(R, cspec_tree, R, R),
+                )(*args)
+            return out, cache, last, jax.random.wrap_key_data(kd)
 
         @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
         def _decode_paged(params, cache, table, toks0, last, keys, n_past,
@@ -532,31 +613,50 @@ class BatchedEngine:
             # in the slot keep the previous occupant's stale K/V, which is
             # sound: reads are masked to positions < n_past, and decode
             # overwrites row n_past before attending to it.
-            if prefixed:
-                cacheN = seed_prefix(pfx_cache, n, scratch_len)
-            else:
-                cacheN = init_kv_cache(
-                    cfg_, n, scratch_len, dtype=jnp.dtype(bcfg_.kv_dtype)
+            def body_all(params, cache, pfx_cache, toks, n_past0, last_idx,
+                         slots, seeds, last_windows, top_p, temp, penalty):
+                if prefixed:
+                    cacheN = seed_prefix(pfx_cache, n, scratch_len)
+                else:
+                    # under a mesh the body sees the LOCAL head shard
+                    cacheN = init_kv_cache(
+                        cfg_, n, scratch_len, dtype=jnp.dtype(bcfg_.kv_dtype),
+                        n_head_local=h_local,
+                    )
+                logits, cacheN, _ = _fwd(
+                    params, toks, cacheN, n_past0, last_idx=last_idx
                 )
-            logits, cacheN, _ = llama_forward(
-                params, toks, cacheN, n_past0, cfg_, kv_block=kvb, last_idx=last_idx
-            )
-            logits = logits[:, 0, :]  # [n, V]
-            def ins(c, cN, row, slot):
-                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
-                return jax.lax.dynamic_update_slice(
-                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+                logits = logits[:, 0, :]  # [n, V]
+
+                def ins(c, cN, row, slot):
+                    r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
+                    return jax.lax.dynamic_update_slice(
+                        c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+                    )
+
+                for j in range(n):
+                    cache2 = jax.tree.map(
+                        lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
+                        cache, cacheN,
+                    )
+                    cache = cache2
+                subs = jax.vmap(jax.random.key)(seeds + 1)
+                ids = sample_tokens_batched(
+                    logits, last_windows, subs, top_k, top_p, temp, penalty
                 )
-            for j in range(n):
-                cache = jax.tree.map(
-                    lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
-                    cache, cacheN,
-                )
-            subs = jax.vmap(jax.random.key)(seeds + 1)
-            ids = sample_tokens_batched(
-                logits, last_windows, subs, top_k, top_p, temp, penalty
-            )
-            return cache, ids
+                return cache, ids
+
+            args = (params, cache, pfx_cache, toks, n_past0, last_idx, slots,
+                    seeds, last_windows, top_p, temp, penalty)
+            if mesh is None:
+                return body_all(*args)
+            return _shmap(
+                body_all,
+                in_specs=(pspec_tree, cspec_tree,
+                          cspec_tree if prefixed else None,
+                          R, R, R, R, R, R, R, R, R),
+                out_specs=(cspec_tree, R),
+            )(*args)
 
         @partial(decode_jit, donate_argnums=(1,))
         def _prefill_paged(params, cache, toks, n_past0, table):
@@ -643,6 +743,10 @@ class BatchedEngine:
         cache1 = init_kv_cache(
             self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
         )
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_cache
+
+            cache1 = shard_cache(cache1, self.mesh)
         _, cache1 = self._prefill(
             self.params, jnp.asarray(padded), cache1, jnp.int32(0),
             jnp.asarray([plen - 1], np.int32),

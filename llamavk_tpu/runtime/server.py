@@ -101,11 +101,12 @@ class LlamaServer:
     """Serving runtime: one engine thread + an HTTP front door."""
 
     def __init__(self, cfg: ModelConfig, params, tokenizer,
-                 bcfg: BatchConfig = BatchConfig(), model_name: str | None = None):
+                 bcfg: BatchConfig = BatchConfig(),
+                 model_name: str | None = None, mesh=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.model_name = model_name or f"llama-{cfg.type_name}"
-        self.engine = BatchedEngine(cfg, params, bcfg)
+        self.engine = BatchedEngine(cfg, params, bcfg, mesh=mesh)
         self.bcfg = bcfg
         self._pending: list[tuple] = []  # (kind, payload, reply queue)
         self._cv = threading.Condition()
