@@ -354,8 +354,8 @@ class BatchedEngine:
         @partial(
             decode_jit, static_argnames=("n_steps", "gamma"), donate_argnums=(1, 3)
         )
-        def _decode_lookup(params, cache, toks0, ctx, n_past, table, n_steps,
-                           gamma):
+        def _decode_lookup(params, cache, toks0, ctx, n_past, table, pk, pv,
+                           pid, plen, n_steps, gamma):
             # batched prompt-lookup speculation (greedy): per row, draft the
             # continuation of the most recent (prev, tok) 2-gram occurrence
             # in that row's context, verify all gamma positions in one
@@ -363,14 +363,20 @@ class BatchedEngine:
             # prefix. Matcher/assembly shared with runtime/speculative.py.
             # table != None: paged pool — the gamma-row verify write may
             # straddle a page boundary (page_straddle spills into the next
-            # mapped page).
+            # mapped page). pk != None: shared-prefix pool — n_past stays
+            # LOGICAL; slots hold only suffix rows.
+            pfx_kw = (
+                dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
+                if pk is not None else {}
+            )
+
             def body(state, _):
                 toks, cache, ctx, n_past = state
                 seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
                 logits, cache, _ = llama_forward(
                     params, seq, cache, n_past, cfg_, kv_block=kvb,
                     logits_all=True, page_table=table,
-                    page_straddle=table is not None,
+                    page_straddle=table is not None, **pfx_kw,
                 )
                 y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
                 k = first_reject(draft == y[:, : gamma - 1])
@@ -396,7 +402,7 @@ class BatchedEngine:
         )
         def _decode_lookup_sampled(params, cache, toks0, ctx, last, keys,
                                    n_past, top_p, temp, penalty, table,
-                                   n_steps, gamma, top_k):
+                                   pk, pv, pid, plen, n_steps, gamma, top_k):
             # sampled lookup speculation, mixed greedy/sampled rows: the
             # deterministic draft d is accepted with prob p_t(d) (greedy rows
             # see a point-mass p_t, so accept == argmax-agreement), rejection
@@ -406,6 +412,10 @@ class BatchedEngine:
             # per-position with static window shifts.
             w = last.shape[1]
             nb = toks0.shape[0]
+            pfx_kw = (
+                dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
+                if pk is not None else {}
+            )
 
             def body(state, _):
                 toks, cache, ctx, last, keys, n_past = state
@@ -413,7 +423,7 @@ class BatchedEngine:
                 logits, cache, _ = llama_forward(
                     params, seq, cache, n_past, cfg_, kv_block=kvb,
                     logits_all=True, page_table=table,
-                    page_straddle=table is not None,
+                    page_straddle=table is not None, **pfx_kw,
                 )
                 pts = []
                 for i in range(gamma):
@@ -491,14 +501,17 @@ class BatchedEngine:
         self._decode_lookup = _decode_lookup
         self._ctx_write = _ctx_write
         if bcfg.lookup_gamma > 0:
-            self.ctx_dev = jnp.zeros((b, bcfg.n_ctx), jnp.int32)
+            # lookup context rows are LOGICAL tokens; with a shared prefix
+            # the logical span is prefix + suffix, beyond the (suffix-only)
+            # slot n_ctx
+            self._ctx_len = bcfg.n_ctx + (
+                bcfg.prefix_ctx if bcfg.shared_prefix else 0
+            )
+            self.ctx_dev = jnp.zeros((b, self._ctx_len), jnp.int32)
 
         if bcfg.shared_prefix:
             assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
                 "shared_prefix requires bf16 KV (v1)"
-            )
-            assert bcfg.lookup_gamma == 0, (
-                "shared_prefix + lookup_gamma not composed yet"
             )
             assert bcfg.prefix_ctx % 256 == 0
             pool_shape = (
@@ -898,7 +911,7 @@ class BatchedEngine:
             # seed the device-side lookup context rows — LOGICAL tokens at
             # logical positions (prefix + prompt + any recompute-on-
             # readmission generated tokens); one dispatch per wave
-            rows = np.zeros((len(admitted), self.bcfg.n_ctx), np.int32)
+            rows = np.zeros((len(admitted), self._ctx_len), np.int32)
             slots_a = np.zeros(len(admitted), np.int32)
             for j, req in enumerate(admitted):
                 pfx_tokens = (
@@ -909,7 +922,7 @@ class BatchedEngine:
                 # emitted above is cur_tok, fed back in the next round
                 hist = (
                     pfx_tokens + req.prompt + req.generated[:-1]
-                )[: self.bcfg.n_ctx]
+                )[: self._ctx_len]
                 rows[j, : len(hist)] = hist
                 slots_a[j] = req.slot
             self.ctx_dev = self._ctx_write(
@@ -1061,11 +1074,11 @@ class BatchedEngine:
         if self.bcfg.lookup_gamma > 0:
             # seed the device-side context rows the lookup matcher reads —
             # ONE dispatch for the whole admission wave
-            rows = np.zeros((len(admitted), self.bcfg.n_ctx), np.int32)
+            rows = np.zeros((len(admitted), self._ctx_len), np.int32)
             slots = np.zeros(len(admitted), np.int32)
             for j, req in enumerate(admitted):
                 pfx_tokens = self.prefixes[req.prefix][2] if req.prefix >= 0 else []
-                hist = (pfx_tokens + req.prompt)[: self.bcfg.n_ctx]
+                hist = (pfx_tokens + req.prompt)[: self._ctx_len]
                 rows[j, : len(hist)] = hist
                 slots[j] = req.slot
             self.ctx_dev = self._ctx_write(
@@ -1278,6 +1291,12 @@ class BatchedEngine:
         if self.bcfg.paged:
             self._ensure_block_pages(g, n_steps)
             table = self._table_dev
+        if self.bcfg.shared_prefix:
+            pk, pv = self.pfx_k, self.pfx_v
+            pid = jnp.asarray(self.pfx_id)
+            plen = jnp.asarray(self.pfx_len)
+        else:
+            pk = pv = pid = plen = None
         sampled = any(
             req is not None and req.sp.temp > 0 for req in self.slots
         )
@@ -1296,6 +1315,7 @@ class BatchedEngine:
                 jnp.asarray(self.temp),
                 jnp.asarray(self.penalty),
                 table,
+                pk, pv, pid, plen,
                 n_steps,
                 g,
                 self.bcfg.top_k,
@@ -1310,6 +1330,7 @@ class BatchedEngine:
                     self.ctx_dev,
                     jnp.asarray(self.n_past),
                     table,
+                    pk, pv, pid, plen,
                     n_steps,
                     g,
                 )

@@ -261,3 +261,44 @@ def test_shared_prefix_slot_reuse(model):
     assert r1.generated == _single_stream(cfg, params, p1 + [8], 4, n_ctx=128)
     assert r2.generated == _single_stream(cfg, params, [8], 4, n_ctx=128)
     assert r1.generated != r2.generated  # sanity: the prefix mattered
+
+
+def test_shared_prefix_lookup_streams(model):
+    """shared_prefix x lookup_gamma: pool-attended prefix + speculative
+    verify rounds — greedy streams equal the plain single-stream oracle
+    (lookup is stream-equivalent by construction; the verify forward runs
+    the prefix pre-pass with LOGICAL n_past)."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30, 7, 11, 4]
+    suffixes = [[3, 1], [4, 4, 4], [8]]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=3, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256, lookup_gamma=3),
+    )
+    pid = be.register_prefix(prefix)
+    reqs = [be.submit(s, 6, GREEDY, ignore_eos=True, prefix=pid)
+            for s in suffixes]
+    be.run()
+    assert be.stats.get("rounds", 0) > 0
+    for r, s in zip(reqs, suffixes):
+        want = _single_stream(cfg, params, prefix + s, 6, n_ctx=128)
+        assert r.generated == want, (s, r.generated, want)
+
+
+def test_shared_prefix_lookup_slot_reuse(model):
+    """Second wave over a freed slot reuses the pool entry; ctx rows reseed
+    with the logical prefix+prompt history."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=1, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256, lookup_gamma=3),
+    )
+    pid = be.register_prefix(prefix)
+    for sfx in ([3, 1], [8, 8]):
+        r = be.submit(sfx, 5, GREEDY, ignore_eos=True, prefix=pid)
+        be.run()
+        want = _single_stream(cfg, params, prefix + sfx, 5, n_ctx=128)
+        assert r.generated == want, (sfx, r.generated, want)
