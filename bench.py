@@ -5,9 +5,13 @@ Baseline (BASELINE.md): the reference's published 7B Q4_0 decode latency of
 decode number the reference publishes. vs_baseline = our tok/s / 16.29.
 
 Runs the real compute path: Q4_0 weights nibble-packed in HBM, Pallas fused
-dequant-matmul, bf16 KV cache (n_ctx 512), on-device greedy sampling, one
-int32 device→host transfer per token. Weights are synthetic (random nibbles;
-identical compute/bandwidth profile to real weights).
+dequant-matmul, on-device greedy sampling, one int32 device→host transfer
+per token. Weights are synthetic (random nibbles; identical
+compute/bandwidth profile to real weights). The default KV cache is int8
+(per-row scales, fused quantize+write+attend): since the round-3 MSA fix
+(utils/jitopts.py) it is measured FASTER than bf16 at B=1 (133.8 vs 129.4
+tok/s) at half the KV memory, so it is the engine's headline config; pass
+--kv-dtype bfloat16 for the f16-KV-equivalent numerics contract.
 
 Prints ONE JSON line on stdout; diagnostics go to stderr.
 
@@ -239,7 +243,7 @@ def main():
     ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
     ap.add_argument("--batch", type=int, default=1, help="decode batch size")
     ap.add_argument("--n-ctx", type=int, default=512)
-    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "int8"])
+    ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8"])
     ap.add_argument("--table", action="store_true",
                     help="sweep the roofline grid and write BENCH_TABLE.md")
     args = ap.parse_args()
@@ -269,6 +273,7 @@ def main():
                 "value": r["tok_s"],
                 "unit": "tok/s/chip",
                 "vs_baseline": round(r["tok_s"] / BASELINE_TOK_S, 2),
+                "kv": r["kv"],
                 "achieved_gbps": r["gbps"],
                 "pct_speed_of_light": r["pct_sol"],
             }

@@ -109,7 +109,12 @@ def main():
         flops = 2 * T * k * n
         row = [f"{sname:5s} [{k:5d}x{n:5d}]"]
         for vname, kw in variants:
-            dt = time_fn(lambda x_, q_: q4_matmul(x_, q_, **kw), x, qw)
+            try:
+                dt = time_fn(lambda x_, q_: q4_matmul(x_, q_, **kw), x, qw)
+            except Exception as e:  # e.g. Mosaic i4 mask bug at K=11008
+                row.append(f"{vname}: FAIL({type(e).__name__})")
+                totals[vname] = float("inf")
+                continue
             row.append(
                 f"{vname}: {dt*1e3:6.2f}ms {flops/dt/1e12:5.1f}TF/s"
                 f"({flops/dt/1e12/PEAK_TFLOPS*100:3.0f}%)"
@@ -125,19 +130,35 @@ def main():
             best_name, best_t = vname, t
 
     # --- 2. flash prefill write+attend at T --------------------------------
+    # The default prefill tiling is hg=1 (one head per program) x bt=256:
+    # 64 sequential programs per layer, each paying its DMA round-trip
+    # latencies — measured ~0.98 ms/layer (~15 us/program) against a ~0.05 ms
+    # FLOP/bandwidth roofline. Sweep heads-per-program / block sizes.
     h, d = cfg.n_head, cfg.head_dim
     cache = init_kv_cache(cfg, 1, max(512, T))
     q = jax.random.normal(key, (1, T, h, d), jnp.bfloat16)
 
-    def attn(q_, kn, vn, ck, cv):
-        out, _, _ = flash_attention_update(
-            q_, kn, vn, ck, cv, jnp.int32(0), jnp.int32(0)
-        )
-        return out
+    dt_attn = None
+    for hg, bt, bk in [(None, 256, 256), (4, 256, 256), (8, 256, 256),
+                       (2, 512, 256), (4, 512, 256), (8, 512, 512),
+                       (4, 256, 512), (16, 256, 256)]:
+        def attn(q_, kn, vn, ck, cv, hg=hg, bt=bt, bk=bk):
+            out, _, _ = flash_attention_update(
+                q_, kn, vn, ck, cv, jnp.int32(0), jnp.int32(0),
+                block_t=bt, block_k=bk, heads_per_program=hg,
+            )
+            return out
 
-    dt_attn = time_fn(attn, q, q, q, cache.k, cache.v)
-    log(f"\nflash write+attend T={T} (1 layer): {dt_attn*1e3:.3f} ms "
-        f"-> x{L} = {dt_attn*L*1e3:.2f} ms")
+        try:
+            dt = time_fn(attn, q, q, q, cache.k, cache.v)
+        except Exception as e:
+            log(f"flash T={T} hg={hg} bt={bt} bk={bk}: FAIL({type(e).__name__})")
+            continue
+        if dt_attn is None:
+            dt_attn = dt  # default config = the production number
+        dt_attn = min(dt_attn, dt)
+        log(f"flash write+attend T={T} hg={hg or 1} bt={bt} bk={bk}: "
+            f"{dt*1e3:.3f} ms/layer -> x{L} = {dt*L*1e3:.2f} ms")
 
     # --- 3. full forward chunk ----------------------------------------------
     params = synthetic_params(cfg, seed=0)
@@ -146,19 +167,21 @@ def main():
     toks = jnp.ones((1, T), jnp.int32)
 
     @partial(jax.jit, static_argnames=("inner",))
-    def chunk_loop(toks_, cache_, inner):
+    def chunk_loop(params_, toks_, cache_, inner):
+        # params as an ARGUMENT, never a closure capture: captured weight
+        # constants serialize through the axon AOT tunnel (CLAUDE.md)
         def body(c, _):
-            lg, c2, _ = llama_forward(params, toks_, c, jnp.int32(0), cfg)
+            lg, c2, _ = llama_forward(params_, toks_, c, jnp.int32(0), cfg)
             return c2, lg[0, 0, 0]
         c2, lgs = jax.lax.scan(body, cache_, None, length=inner)
         return lgs.sum()
 
     def run_chunks(inner):
-        np.asarray(chunk_loop(toks, cache2, inner))
+        np.asarray(chunk_loop(params, toks, cache2, inner))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(chunk_loop(toks, cache2, inner))
+            np.asarray(chunk_loop(params, toks, cache2, inner))
             best = min(best, time.perf_counter() - t0)
         return best
 
