@@ -54,6 +54,13 @@ _ENV_FORCE_ARB = os.environ.get("LLAMAVK_FORCE_ARB", "") == "1"
 # Diagnostic override for the quantized-decode heads-per-program default
 # (0 = keep the built-in default). Import-time read, same rule as above.
 _ENV_HG_Q = int(os.environ.get("LLAMAVK_HG_Q", "0"))
+# Same for the bf16 PREFILL (bt > 16) heads-per-program default. The hg=1
+# grid is h tiny programs per t-block paying serialized DMA round-trips
+# (~15 us each); hg=4 measured faster BOTH standalone (0.94 vs 1.00
+# ms/layer at T=512, 0.88 with bk=512) AND end-to-end (full 7B chunk 47.7
+# vs 50.0 ms — tools/bench_prefill.py --only-forward A/B, v5e 2026-08-19),
+# so 4 is the default; 0 here keeps it.
+_ENV_HG_PF = int(os.environ.get("LLAMAVK_HG_PF", "0"))
 
 
 def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
@@ -760,16 +767,17 @@ def flash_attention(
     npast_vec = jnp.broadcast_to(jnp.asarray(n_past, jnp.int32), (b,))
 
     # heads per program: decode (small q tiles) groups heads so each DMA
-    # moves HG x BK x D bytes; prefill keeps one head per program (its q/score
-    # tiles are already large). Quantized caches group MORE heads: the [BK,
-    # Hs] scale tiles are shared across head-programs, so fewer programs =
-    # less duplicated scale traffic (int8 data is half-size, so VMEM fits).
+    # moves HG x BK x D bytes; prefill groups 4 (per-head programs were
+    # DMA-latency-bound — see _ENV_HG_PF). Quantized caches group MORE
+    # heads: the [BK, Hs] scale tiles are shared across head-programs, so
+    # fewer programs = less duplicated scale traffic (int8 data is
+    # half-size, so VMEM fits).
     hg = heads_per_program
     if hg is None:
         if quantized:
             hg = (_ENV_HG_Q or 32) if bt <= 16 else 8
         else:
-            hg = 8 if bt <= 16 else 1
+            hg = 8 if bt <= 16 else (_ENV_HG_PF or 4)
     while h % hg:
         hg //= 2
     hg = max(hg, 1)
@@ -951,7 +959,7 @@ def flash_attention_update(
         if quantized:
             hg = (_ENV_HG_Q or 32) if bt <= 16 else 8
         else:
-            hg = 8 if bt <= 16 else 1
+            hg = 8 if bt <= 16 else (_ENV_HG_PF or 4)
     while h % hg:
         hg //= 2
     hg = max(hg, 1)

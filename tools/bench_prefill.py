@@ -80,12 +80,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
     ap.add_argument("--t", type=int, default=512)
+    ap.add_argument("--only-forward", action="store_true",
+                    help="skip parts 1-2: just the full-chunk number (for "
+                    "env-knob A/Bs, e.g. LLAMAVK_HG_PF)")
     args = ap.parse_args()
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
     T = args.t
     key = jax.random.key(0)
     e, f, L = cfg.n_embd, cfg.n_ff, cfg.n_layer
-
     # --- 1. matmul variants at M=T -----------------------------------------
     shapes = [
         ("wqkv", e, 3 * e),
@@ -101,6 +103,8 @@ def main():
         ("i4/bn512", dict(mul_dtype=jnp.float32, block_n=512, dot_mode="i4")),
         ("bf16/bb128", dict(mul_dtype=jnp.bfloat16, block_n=512, block_b=128)),
     ]
+    if args.only_forward:
+        shapes, variants = [], []
     totals = {name: 0.0 for name, _ in variants}
     for sname, k, n in shapes:
         qw = make_qw(jax.random.fold_in(key, k * n), k, n)
@@ -139,9 +143,12 @@ def main():
     q = jax.random.normal(key, (1, T, h, d), jnp.bfloat16)
 
     dt_attn = None
-    for hg, bt, bk in [(None, 256, 256), (4, 256, 256), (8, 256, 256),
-                       (2, 512, 256), (4, 512, 256), (8, 512, 512),
-                       (4, 256, 512), (16, 256, 256)]:
+    attn_sweep = [] if args.only_forward else [
+        (None, 256, 256), (4, 256, 256), (8, 256, 256),
+        (2, 512, 256), (4, 512, 256), (8, 512, 512),
+        (4, 256, 512), (16, 256, 256),
+    ]
+    for hg, bt, bk in attn_sweep:
         def attn(q_, kn, vn, ck, cv, hg=hg, bt=bt, bk=bk):
             out, _, _ = flash_attention_update(
                 q_, kn, vn, ck, cv, jnp.int32(0), jnp.int32(0),
@@ -186,13 +193,16 @@ def main():
         return best
 
     dt_fwd = (run_chunks(12) - run_chunks(4)) / 8
-    matmul_ms = best_t * L * 1e3
-    attn_ms = dt_attn * L * 1e3
     log(f"full forward chunk T={T}: {dt_fwd*1e3:.2f} ms "
         f"({T/dt_fwd:.0f} tok/s)")
-    log(f"sum of parts: matmuls[{best_name}] {matmul_ms:.2f} + attn {attn_ms:.2f} "
-        f"+ residual {dt_fwd*1e3 - matmul_ms - attn_ms:.2f} ms "
-        f"(norms/rope/embed/logits/glue)")
+    if best_name is not None and dt_attn is not None:
+        matmul_ms = best_t * L * 1e3
+        attn_ms = dt_attn * L * 1e3
+        log(f"sum of parts: matmuls[{best_name}] {matmul_ms:.2f} + attn "
+            f"{attn_ms:.2f} + residual "
+            f"{dt_fwd*1e3 - matmul_ms - attn_ms:.2f} ms "
+            f"(norms/rope/embed/logits/glue; in-program overlap can make "
+            f"this negative)")
     log(f"MXU roofline: {2*T*6.74e9/1e12:.2f} TFLOP/chunk -> "
         f"{2*T*6.74e9/PEAK_TFLOPS/1e9:.1f} ms at peak; achieved "
         f"{2*T*6.74e9/dt_fwd/1e12:.1f} TF/s = "
