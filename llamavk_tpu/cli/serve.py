@@ -49,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="tensor-parallel degree: serve one TP replica over "
                     "the first tp devices (Megatron split; weights loaded "
                     "with matching chunk packing)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree: shard the request slots over "
+                    "dp groups of tp devices each (one lockstep decode "
+                    "program serves every group — replica scaling without "
+                    "per-replica dispatch overhead); max_batch %% dp == 0")
     ap.add_argument("--model-name", default=None)
     return ap
 
@@ -57,11 +62,12 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg, params, tok = load_model(args.model, tp=args.tp)
     mesh = None
-    if args.tp > 1:
+    if args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh
         import jax
 
-        mesh = make_mesh(tp=args.tp, dp=1, devices=jax.devices()[: args.tp])
+        mesh = make_mesh(tp=args.tp, dp=args.dp,
+                         devices=jax.devices()[: args.tp * args.dp])
     bcfg = BatchConfig(
         max_batch=args.max_batch,
         n_ctx=args.ctx_size,

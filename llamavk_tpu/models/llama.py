@@ -157,9 +157,20 @@ class KVCache:
         return self.pos is not None
 
 
+def scale_lane_pad(n_head: int, tp: int = 1) -> int:
+    """GLOBAL lane pad of an int8 cache's scale planes. Each tp shard of the
+    lane (head) axis must independently satisfy Mosaic's 128-lane DMA slice
+    alignment, so the global pad is tp * (local heads padded to 128) — a
+    tp-sharded scale plane then splits into tp self-contained 128-aligned
+    tiles. tp=1 reproduces the plain single-replica pad."""
+    local = -(-(n_head // tp) // 128) * 128
+    return tp * local
+
+
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
     n_head_local: int | None = None, ring: bool = False,
+    h_pad: int | None = None,
 ) -> KVCache:
     h = cfg.n_head if n_head_local is None else n_head_local
     dtype = jnp.dtype(dtype)
@@ -168,8 +179,11 @@ def init_kv_cache(
     if dtype == jnp.int8:
         # head lanes padded to the 128-lane tile: Mosaic DMA slice SHAPES on
         # the minor dim must be 128-aligned, and XLA pads the HBM footprint
-        # to 128 lanes anyway — the padding costs nothing extra
-        h_pad = -(-h // 128) * 128
+        # to 128 lanes anyway — the padding costs nothing extra. h_pad
+        # overrides for tensor-parallel caches (scale_lane_pad: each tp
+        # shard needs its own 128-aligned lane tile).
+        if h_pad is None:
+            h_pad = -(-h // 128) * 128
         sshape = (cfg.n_layer, batch, max_len, h_pad)
         extra.update(
             k_scale=jnp.zeros(sshape, jnp.float32),
@@ -184,7 +198,7 @@ def init_kv_cache(
 
 def init_paged_kv_cache(
     cfg: ModelConfig, n_pages: int, page_size: int, dtype=jnp.bfloat16,
-    n_head_local: int | None = None,
+    n_head_local: int | None = None, h_pad: int | None = None,
 ) -> KVCache:
     """Paged KV pool [L, NP, H, PS, D]: fixed-size pages shared by every
     request slot, addressed through per-row block tables (runtime/paged.py;
@@ -200,7 +214,8 @@ def init_paged_kv_cache(
     extra = {}
     if dtype == jnp.int8:
         assert page_size % 32 == 0, "int8 page_size: multiple of 32"
-        h_pad = -(-h // 128) * 128  # lane-padded, as init_kv_cache
+        if h_pad is None:
+            h_pad = -(-h // 128) * 128  # lane-padded, as init_kv_cache
         sshape = (cfg.n_layer, n_pages, page_size, h_pad)
         extra.update(
             k_scale=jnp.zeros(sshape, jnp.float32),
@@ -418,12 +433,10 @@ def llama_forward(
     if paged:
         assert cache.pos is None, "paged KV: non-ring pools only"
         assert prefix_kv is None, "paged KV and prefix pool are exclusive"
-        assert not (page_straddle and cache.quantized), (
-            "page_straddle: bf16 pools only (v1)"
-        )
-        assert pp_axis is None and tp_axis is None, (
-            "paged KV: single-replica forward only (v1)"
-        )
+        # tp composes: the pool's head axis shards like the flat cache's and
+        # block tables are replicated. pp would shard the pool's layer dim
+        # against a layer-oblivious allocator — out of scope.
+        assert pp_axis is None, "paged KV: no pipeline stages (v1)"
         assert attn_impl in ("auto", "flash"), "paged KV is flash-only"
 
     prefix = prefix_kv is not None
@@ -470,6 +483,14 @@ def llama_forward(
 
     lp = params.layers  # stacked weights, captured (NOT scan xs — see above)
     fused = isinstance(lp, FusedLayerParams)
+
+    # default flash KV block: prefill-sized calls (t >= 256) read the whole
+    # ragged prefix anyway, and bigger blocks amortize per-block DMA latency
+    # — bk=512 measured ~7% faster per layer standalone than 256 at T=512
+    # (tools/bench_prefill.py, v5e). Decode keeps 256 (the ragged bound
+    # rounds UP to a whole block: a short context would read past it).
+    # An explicit kv_block always wins (it pins accumulation order).
+    bk_default = 512 if t >= 256 else 256
 
     quantized_kv = cache.quantized
 
@@ -535,11 +556,13 @@ def llama_forward(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
                     batch_offset=boff_l, ring_bounded=True,
-                    block_k=kv_block or 256,
+                    block_k=kv_block or bk_default,
                     # paged: cap the query block at the page size so a write
                     # block never straddles a page (see the bf16 call below)
+                    # — unless page_straddle explicitly allows the spill
                     **(
                         {"page_table": page_table,
+                         "page_straddle": page_straddle,
                          "block_t": min(256, ck.shape[3])}
                         if paged else {}
                     ),
@@ -548,7 +571,7 @@ def llama_forward(
                 attn, ck, cv = flash_attention_update(
                     q, k, v, ck, cv, npast_l, l, commit=commit,
                     kv_pos=new_pos, write_row=wrow, batch_offset=boff_l,
-                    ring_bounded=True, block_k=kv_block or 256,
+                    ring_bounded=True, block_k=kv_block or bk_default,
                     prefix_k=prefix_kv[0] if prefix else None,
                     prefix_v=prefix_kv[1] if prefix else None,
                     prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
@@ -615,7 +638,7 @@ def llama_forward(
                 attn = flash_attention(
                     q, ck, cv, npast_l, layer_idx=l,
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos,
-                    batch_offset=boff_l, block_k=kv_block or 256,
+                    batch_offset=boff_l, block_k=kv_block or bk_default,
                     prefix_k=prefix_kv[0] if prefix else None,
                     prefix_v=prefix_kv[1] if prefix else None,
                     prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,

@@ -324,7 +324,27 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
                 )
             return _do
 
-        jax.lax.switch(soff, [merge_scale(o) for o in range(ws - bt + 1)])
+        def merge_scale_head(o):
+            # straddle window A for scales (same geometry as merge_data_head):
+            # soff can reach ws - 1 when swin0 clamps at the page end; rows
+            # spilling to page B are masked out here and merged below
+            m = min(bt, ws - o)
+
+            def _do():
+                jm = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+                keep = own[:m] & commit & (jm < bt - c_over)
+                kswin[o : o + m, :] = jnp.where(
+                    keep, k_sc_bt[:m], kswin[o : o + m, :]
+                )
+                vswin[o : o + m, :] = jnp.where(
+                    keep, v_sc_bt[:m], vswin[o : o + m, :]
+                )
+            return _do
+
+        if paged and straddle:
+            jax.lax.switch(soff, [merge_scale_head(o) for o in range(ws)])
+        else:
+            jax.lax.switch(soff, [merge_scale(o) for o in range(ws - bt + 1)])
         writes += [
             pltpu.make_async_copy(kswin, scale_at(ks_out), swsems.at[0]),
             pltpu.make_async_copy(vswin, scale_at(vs_out), swsems.at[1]),
@@ -371,6 +391,42 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             c.start()
         for c in wB:
             c.wait()
+
+        if quantized:
+            # page-B SCALE window: the spilled rows' scales land at rows
+            # [0, c_over) of page2's scale plane (the scale pool shares the
+            # data pool's page ids). Reuses the scale window buffers after
+            # window A's write-back completed above.
+            def scaleB_at(src):
+                return src.at[layer, page2, pl.ds(0, ws), :]
+
+            ksrB = pltpu.make_async_copy(scaleB_at(ks_out), kswin, swsems.at[0])
+            vsrB = pltpu.make_async_copy(scaleB_at(vs_out), vswin, swsems.at[1])
+            ksrB.start()
+            vsrB.start()
+            ksrB.wait()
+            vsrB.wait()
+
+            def merge_scale_over(c):
+                def _do():
+                    if c:
+                        kswin[0:c, :] = jnp.where(
+                            own[:c] & commit, k_sc_bt[bt - c :], kswin[0:c, :]
+                        )
+                        vswin[0:c, :] = jnp.where(
+                            own[:c] & commit, v_sc_bt[bt - c :], vswin[0:c, :]
+                        )
+                return _do
+
+            jax.lax.switch(c_over, [merge_scale_over(c) for c in range(bt)])
+            wsB = [
+                pltpu.make_async_copy(kswin, scaleB_at(ks_out), swsems.at[0]),
+                pltpu.make_async_copy(vswin, scaleB_at(vs_out), swsems.at[1]),
+            ]
+            for c in wsB:
+                c.start()
+            for c in wsB:
+                c.wait()
 
     _attend(idx_ref, npast_ref, q_ref, k_out, v_out, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_out, vs_hbm=vs_out, ksbuf=ksbuf, vsbuf=vsbuf,
@@ -906,9 +962,10 @@ def flash_attention_update(
     # — UNLESS page_straddle is set.
     page_straddle: bool = False,  # paged multi-token writes at ARBITRARY
     # n_past (speculative verify): rows past the page end spill into the
-    # next logical page via a second RMW window. Caller invariant:
-    # n_past + T <= MAXLB * PS (the spill page's table entry must exist;
-    # unmapped entries hold the reserved trash page). bf16 pools only (v1).
+    # next logical page via a second RMW window (int8 pools spill the scale
+    # plane rows the same way). Caller invariant: n_past + T <= MAXLB * PS
+    # (the spill page's table entry must exist; unmapped entries hold the
+    # reserved trash page).
 ):
     """Fused cache update + attention: writes the T new K/V rows at
     [n_past[b], n_past[b]+T) of layer `layer_idx` in the aliased cache, then
@@ -933,8 +990,8 @@ def flash_attention_update(
     assert not (paged and (ring or prefix)), (
         "paged KV: non-ring caches, no prefix-pool pre-pass"
     )
-    assert not (page_straddle and (quantized or not paged)), (
-        "page_straddle: bf16 paged pools only (v1)"
+    assert not (page_straddle and not paged), (
+        "page_straddle only applies to paged pools"
     )
     b, t, h, d = q.shape
     s = k.shape[3]

@@ -97,17 +97,21 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
     )
 
 
-def cache_pspec(quantized: bool = False, ring: bool = False) -> KVCache:
+def cache_pspec(
+    quantized: bool = False, ring: bool = False,
+    batch_axis: str | None = "dp",
+) -> KVCache:
     """KV cache [L, B, H, S, D]: layers on pp, batch on dp, heads on tp.
     int8 caches add per-row scales [L, B, S, H] (heads still on tp); ring
-    caches add the position plane [S, B] (batch on dp)."""
-    s = P("pp", "dp", "tp", None, None)
+    caches add the position plane [S, B] (batch on dp). batch_axis=None
+    replicates the batch dim (single-row prefix caches under a dp mesh)."""
+    s = P("pp", batch_axis, "tp", None, None)
     extra = {}
     if quantized:
-        sc = P("pp", "dp", None, "tp")
+        sc = P("pp", batch_axis, None, "tp")
         extra.update(k_scale=sc, v_scale=sc)
     if ring:
-        extra.update(pos=P(None, "dp"))
+        extra.update(pos=P(None, batch_axis))
     return KVCache(k=s, v=s, **extra)
 
 
@@ -123,8 +127,12 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     )
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    specs = cache_pspec(quantized=cache.quantized, ring=cache.ring)
+def shard_cache(
+    cache: KVCache, mesh: Mesh, batch_axis: str | None = "dp"
+) -> KVCache:
+    specs = cache_pspec(
+        quantized=cache.quantized, ring=cache.ring, batch_axis=batch_axis
+    )
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )

@@ -86,9 +86,10 @@ class BatchConfig:
     # read-only across slots, and a full pool preempts the youngest request
     # (recompute on re-admission) instead of failing. bf16 or int8 KV
     # (int8 pages the per-row scale planes through the same tables;
-    # page_size must then be a multiple of 32). Excludes shared_prefix (the
-    # block table IS the sharing mechanism) and lookup_gamma (multi-token
-    # verify windows can straddle pages).
+    # page_size must then be a multiple of 32). Composes with lookup_gamma
+    # (verify writes spill across page boundaries via the kernels'
+    # page_straddle path, bf16 and int8). Excludes shared_prefix (the block
+    # table IS the sharing mechanism).
     page_size: int = 64  # pool page rows (power of two; n_ctx % page_size == 0)
     n_pages: int = 0  # pool pages; 0 -> max_batch * n_ctx / page_size + 1
     # (the flat footprint — size it SMALLER to oversubscribe slots, which is
@@ -105,7 +106,14 @@ class BatchedEngine:
     (Megatron split per parallel/sharding.py; collectives ride ICI inside
     the jitted decode blocks). Weights must then be loaded with the same
     `tp=` chunk packing (params_from_reader / synthetic_params) and are
-    device_put with the split-table shardings here."""
+    device_put with the split-table shardings here.
+
+    A `dp` mesh axis shards the REQUEST SLOTS: each dp group of devices
+    holds max_batch/dp slots' cache rows and decodes them in the same
+    lockstep program (ONE dispatch serves every replica — data-parallel
+    serving without per-replica dispatch overhead, which dominates on
+    high-latency links). Admission prefills are computed replicated across
+    dp groups; only the owning group merges the rows into its slot slice."""
 
     def __init__(self, cfg: ModelConfig, params: LlamaParams,
                  bcfg: BatchConfig = BatchConfig(), mesh=None):
@@ -113,22 +121,33 @@ class BatchedEngine:
         self.bcfg = bcfg
         self.mesh = mesh
         tp_size = int(mesh.shape["tp"]) if mesh is not None else 1
+        dp_size = int(mesh.shape.get("dp", 1)) if mesh is not None else 1
         if mesh is not None:
             from ..parallel.sharding import param_pspecs, shard_params
 
-            assert int(mesh.shape.get("dp", 1)) == 1 and int(
-                mesh.shape.get("pp", 1)
-            ) == 1, "BatchedEngine mesh: tp-only (v1); dp = run more engines"
-            assert not bcfg.paged and not bcfg.shared_prefix and (
-                bcfg.lookup_gamma == 0
-            ), "mesh serving: plain/prefix-cached decode only (v1)"
-            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
-                "mesh serving: bf16 KV only (v1 — the int8 scale planes' "
-                "lane padding differs between global-sharded and local "
-                "scratch caches)"
+            assert int(mesh.shape.get("pp", 1)) == 1, (
+                "BatchedEngine mesh: tp x dp only (no pp stages, v1)"
+            )
+            assert not bcfg.shared_prefix and bcfg.lookup_gamma == 0, (
+                "mesh serving: plain/prefix-cached/paged decode only (v1)"
+            )
+            assert not (bcfg.paged and dp_size > 1), (
+                "paged KV x mesh: tp only (the page pool is one shared "
+                "allocator; dp would shard its page axis)"
             )
             assert cfg.n_head % tp_size == 0, (cfg.n_head, tp_size)
+            assert bcfg.max_batch % dp_size == 0, (
+                "dp serving shards request slots over the dp axis: "
+                f"max_batch {bcfg.max_batch} % dp {dp_size} != 0"
+            )
             params = shard_params(params, mesh)
+        # int8 scale-plane lane pads: global caches give every tp shard its
+        # own 128-aligned lane tile; scratch caches built INSIDE shard_map
+        # bodies use the matching per-shard (local) pad
+        from ..models.llama import scale_lane_pad
+
+        self._hpad_global = scale_lane_pad(cfg.n_head, tp_size)
+        hpad_local = self._hpad_global // tp_size
         self.params = params
         b, w = bcfg.max_batch, bcfg.repeat_last_n
         if bcfg.paged:
@@ -143,16 +162,20 @@ class BatchedEngine:
             )
             if kvd == jnp.int8:
                 assert ps % 32 == 0, "int8 paged KV needs page_size % 32 == 0"
-                assert bcfg.lookup_gamma == 0, (
-                    "paged int8 + lookup_gamma not composed yet (the verify "
-                    "write's page-straddle path is bf16-only)"
-                )
             assert not bcfg.shared_prefix, (
                 "paged KV excludes shared_prefix (the block table IS the "
                 "sharing mechanism)"
             )
             n_pages = bcfg.n_pages or (b * bcfg.n_ctx // ps + 1)
-            self.cache = init_paged_kv_cache(cfg, n_pages, ps, dtype=kvd)
+            self.cache = init_paged_kv_cache(
+                cfg, n_pages, ps, dtype=kvd, h_pad=self._hpad_global
+            )
+            if mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                # pool dims [L, NP, H, PS, D] shard positionally like the
+                # flat cache's [L, B, H, S, D]: heads on tp, NP replicated
+                self.cache = shard_cache(self.cache, mesh)
             alloc = PageAllocator(n_pages)
             # page 0 is the TRASH page: freed slots keep decoding garbage
             # until the block ends, and their zeroed table rows must point
@@ -164,7 +187,8 @@ class BatchedEngine:
             self.pager.dirty = False
         else:
             self.cache = init_kv_cache(
-                cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype)
+                cfg, b, bcfg.n_ctx, dtype=jnp.dtype(bcfg.kv_dtype),
+                h_pad=self._hpad_global,
             )
             if mesh is not None:
                 from ..parallel.sharding import shard_cache
@@ -208,7 +232,17 @@ class BatchedEngine:
             cspec_tree = cache_pspec(
                 quantized=jnp.dtype(bcfg.kv_dtype) == jnp.int8
             )
+            # prefix caches are single-row: batch dim replicated over dp
+            cspec_pfx = cache_pspec(
+                quantized=jnp.dtype(bcfg.kv_dtype) == jnp.int8,
+                batch_axis=None,
+            )
             R = P()
+            # per-slot vectors/matrices shard their slot axis over dp (each
+            # dp group decodes its own slice of the request slots; sampling
+            # is row-wise, so per-shard sampling equals global sampling)
+            D1 = P("dp")
+            D2 = P("dp", None)
 
         def _shmap(body, in_specs, out_specs):
             return jax.shard_map(
@@ -234,10 +268,12 @@ class BatchedEngine:
         if mesh is None:
             _prefill = decode_jit(_prefill_body)
         else:
+            # _prefill only runs on single-row prefix caches (replicated
+            # batch under dp; every dp group computes the same prefill)
             _prefill = decode_jit(_shmap(
                 _prefill_body,
-                in_specs=(pspec_tree, R, cspec_tree, R, R),
-                out_specs=(R, cspec_tree),
+                in_specs=(pspec_tree, R, cspec_pfx, R, R),
+                out_specs=(R, cspec_pfx),
             ))
 
         def slice_cache(c, s_len):
@@ -295,36 +331,56 @@ class BatchedEngine:
             else:
                 out, cache, last, kd = _shmap(
                     body_all,
-                    in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R),
-                    out_specs=(R, cspec_tree, R, R),
+                    in_specs=(pspec_tree, cspec_tree, D1, D2, D2, D1, D1, D1,
+                              D1),
+                    out_specs=(D2, cspec_tree, D2, D2),
                 )(*args)
             return out, cache, last, jax.random.wrap_key_data(kd)
 
-        @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 3, 4))
+        @partial(decode_jit, static_argnames=("n_steps", "top_k"), donate_argnums=(1, 4, 5))
         def _decode_paged(params, cache, table, toks0, last, keys, n_past,
                           top_p, temp, penalty, n_steps, top_k):
             # plain decode block through the block table (the pool cache is
             # donated across blocks exactly like the flat slab; the table is
-            # a tiny per-block operand — value changes never recompile)
-            def body(state, _):
-                toks, cache, last, keys, n_past = state
-                logits, cache, _ = llama_forward(
-                    params, toks[:, None], cache, n_past, cfg_,
-                    kv_block=kvb, page_table=table,
-                )
-                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
-                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
-                nxt = sample_tokens_batched(
-                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
-                )
-                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
-                return (nxt, cache, last, keys2, n_past + 1), nxt
+            # a tiny per-block operand — value changes never recompile).
+            # Under a tp mesh the body runs per-shard (pool heads sharded,
+            # table + per-slot vectors replicated).
+            def body_all(params, cache, table, toks0, last, kd, n_past,
+                         top_p, temp, penalty):
+                keys = jax.random.wrap_key_data(kd)
 
-            state = (toks0, cache, last, keys, n_past)
-            (toks, cache, last, keys, n_past), out = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
-            return out.T, cache, last, keys
+                def body(state, _):
+                    toks, cache, last, keys, n_past = state
+                    logits, cache, _ = _fwd(
+                        params, toks[:, None], cache, n_past, page_table=table
+                    )
+                    keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                    subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                    nxt = sample_tokens_batched(
+                        logits[:, -1, :], last, subs, top_k, top_p, temp,
+                        penalty,
+                    )
+                    last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                    return (nxt, cache, last, keys2, n_past + 1), nxt
+
+                state = (toks0, cache, last, keys, n_past)
+                (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                    body, state, None, length=n_steps
+                )
+                return out.T, cache, last, jax.random.key_data(keys)
+
+            kd = jax.random.key_data(keys)
+            args = (params, cache, table, toks0, last, kd, n_past, top_p,
+                    temp, penalty)
+            if mesh is None:
+                out, cache, last, kd = body_all(*args)
+            else:
+                out, cache, last, kd = _shmap(
+                    body_all,
+                    in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R, R),
+                    out_specs=(R, cspec_tree, R, R),
+                )(*args)
+            return out, cache, last, jax.random.wrap_key_data(kd)
 
         @partial(decode_jit, static_argnames=("n", "top_k"), donate_argnums=(1,))
         def _admit_chunk_paged(params, cache, toks, n_past0, last_idx,
@@ -336,17 +392,29 @@ class BatchedEngine:
             # n_past0 is page-aligned (prefix full pages; remainder tokens
             # ride prepended to the suffix), so every write block stays
             # within one page.
-            npv = jnp.full((n,), n_past0, jnp.int32)
-            logits, cache, _ = llama_forward(
-                params, toks, cache, npv, cfg_, kv_block=kvb, last_idx=last_idx,
-                page_table=table,
-            )
-            subs = jax.vmap(jax.random.key)(seeds + 1)
-            ids = sample_tokens_batched(
-                logits[:, 0, :], last_windows, subs, top_k, top_p, temp,
-                penalty,
-            )
-            return cache, ids
+            def body_all(params, cache, toks, n_past0, last_idx, seeds,
+                         last_windows, top_p, temp, penalty, table):
+                npv = jnp.full((n,), n_past0, jnp.int32)
+                logits, cache, _ = _fwd(
+                    params, toks, cache, npv, last_idx=last_idx,
+                    page_table=table,
+                )
+                subs = jax.vmap(jax.random.key)(seeds + 1)
+                ids = sample_tokens_batched(
+                    logits[:, 0, :], last_windows, subs, top_k, top_p, temp,
+                    penalty,
+                )
+                return cache, ids
+
+            args = (params, cache, toks, n_past0, last_idx, seeds,
+                    last_windows, top_p, temp, penalty, table)
+            if mesh is None:
+                return body_all(*args)
+            return _shmap(
+                body_all,
+                in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R, R, R),
+                out_specs=(cspec_tree, R),
+            )(*args)
 
         self._decode_paged = _decode_paged
         self._admit_chunk_paged = _admit_chunk_paged
@@ -631,10 +699,11 @@ class BatchedEngine:
                 if prefixed:
                     cacheN = seed_prefix(pfx_cache, n, scratch_len)
                 else:
-                    # under a mesh the body sees the LOCAL head shard
+                    # under a mesh the body sees the LOCAL head shard (and
+                    # the matching per-shard scale-plane lane pad)
                     cacheN = init_kv_cache(
                         cfg_, n, scratch_len, dtype=jnp.dtype(bcfg_.kv_dtype),
-                        n_head_local=h_local,
+                        n_head_local=h_local, h_pad=hpad_local,
                     )
                 logits, cacheN, _ = _fwd(
                     params, toks, cacheN, n_past0, last_idx=last_idx
@@ -642,10 +711,25 @@ class BatchedEngine:
                 logits = logits[:, 0, :]  # [n, V]
 
                 def ins(c, cN, row, slot):
+                    # under dp the cache batch dim is the LOCAL slot slice:
+                    # localize the global slot index; non-owning dp groups
+                    # rewrite the (clamped) row unchanged
                     r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
-                    return jax.lax.dynamic_update_slice(
-                        c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
-                    )
+                    if mesh is not None and dp_size > 1:
+                        bl = c.shape[1]
+                        loc = slot - jax.lax.axis_index("dp") * bl
+                        owns = (loc >= 0) & (loc < bl)
+                        slot_l = jnp.clip(loc, 0, bl - 1)
+                        start = (jnp.int32(0), slot_l) + (
+                            jnp.int32(0),
+                        ) * (c.ndim - 2)
+                        cur = jax.lax.dynamic_slice(c, start, r.shape)
+                        r = jnp.where(owns, r, cur)
+                    else:
+                        start = (jnp.int32(0), slot) + (
+                            jnp.int32(0),
+                        ) * (c.ndim - 2)
+                    return jax.lax.dynamic_update_slice(c, r, start)
 
                 for j in range(n):
                     cache2 = jax.tree.map(
@@ -666,17 +750,27 @@ class BatchedEngine:
             return _shmap(
                 body_all,
                 in_specs=(pspec_tree, cspec_tree,
-                          cspec_tree if prefixed else None,
+                          cspec_pfx if prefixed else None,
                           R, R, R, R, R, R, R, R, R),
                 out_specs=(cspec_tree, R),
             )(*args)
 
         @partial(decode_jit, donate_argnums=(1,))
         def _prefill_paged(params, cache, toks, n_past0, table):
-            _, cache, _ = llama_forward(
-                params, toks, cache, n_past0, cfg_, kv_block=kvb, page_table=table
-            )
-            return cache
+            def body_all(params, cache, toks, n_past0, table):
+                _, cache, _ = _fwd(
+                    params, toks, cache, n_past0, page_table=table
+                )
+                return cache
+
+            args = (params, cache, toks, n_past0, table)
+            if mesh is None:
+                return body_all(*args)
+            return _shmap(
+                body_all,
+                in_specs=(pspec_tree, cspec_tree, R, R, R),
+                out_specs=cspec_tree,
+            )(*args)
 
         self._prefill_paged = _prefill_paged
         self._prefill = _prefill
@@ -754,12 +848,14 @@ class BatchedEngine:
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :plen] = tokens
         cache1 = init_kv_cache(
-            self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype)
+            self.cfg, 1, self.bcfg.n_ctx, dtype=jnp.dtype(self.bcfg.kv_dtype),
+            h_pad=self._hpad_global,
         )
         if self.mesh is not None:
             from ..parallel.sharding import shard_cache
 
-            cache1 = shard_cache(cache1, self.mesh)
+            # single-row prefix cache: batch dim replicated over dp
+            cache1 = shard_cache(cache1, self.mesh, batch_axis=None)
         _, cache1 = self._prefill(
             self.params, jnp.asarray(padded), cache1, jnp.int32(0),
             jnp.asarray([plen - 1], np.int32),

@@ -333,9 +333,11 @@ def test_paged_engine_int8_prefix_and_preemption(tiny):
 # ---------------------------------------------------------------------------
 # paged x lookup speculation (verify writes straddle page boundaries)
 
-def _flat_lookup_streams(cfg, params, subs, gamma, n_ctx=64):
+def _flat_lookup_streams(cfg, params, subs, gamma, n_ctx=64, kv_block=8,
+                         kv_dtype="bfloat16", max_batch=4):
     be = BatchedEngine(cfg, params, BatchConfig(
-        max_batch=4, n_ctx=n_ctx, block=4, kv_block=8, lookup_gamma=gamma,
+        max_batch=max_batch, n_ctx=n_ctx, block=4, kv_block=kv_block,
+        lookup_gamma=gamma, kv_dtype=kv_dtype,
     ))
     reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
     be.run()
@@ -362,6 +364,57 @@ def test_paged_engine_lookup_matches_flat(tiny):
     ))
     reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
     be.run()
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_paged_engine_lookup_matches_flat_int8(tiny):
+    """int8 paged + prompt-lookup: the gamma-row verify writes spill across
+    page boundaries through the kernel's quantized page_straddle path (data
+    pages AND scale-plane pages); greedy and seeded-sampled streams equal
+    the int8 flat lookup engine's (kv block pinned to the page size)."""
+    cfg, params, _ = tiny
+    subs = [
+        (([5, 9, 2, 30, 5, 9], 10, GREEDY), {}),
+        (([7, 3, 11, 7, 3], 8, GREEDY), {}),
+        (([1, 2, 3, 1, 2, 3], 6,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+    ]
+    g = 3
+    want = _flat_lookup_streams(
+        cfg, params, subs, g, kv_block=32, kv_dtype="int8"
+    )
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=4, n_ctx=64, block=4, paged=True, page_size=32,
+        kv_dtype="int8", lookup_gamma=g,
+    ))
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_paged_engine_lookup_int8_preemption(tiny):
+    """int8 paged lookup under a tight pool: preempt + recompute keeps
+    greedy streams exact (scale pages freed and reused with the data)."""
+    cfg, params, _ = tiny
+    prompts = [[5, 9, 2, 30, 5, 9], [7, 3, 11, 7], [1, 2, 3, 1]]
+    g = 3
+    # n_predict 24 pushes every slot past one 32-row page mid-decode while
+    # the pool holds only 3 usable pages — decode-time preemption must fire
+    want = _flat_lookup_streams(
+        cfg, params, [((p, 24, GREEDY), {}) for p in prompts], g,
+        kv_block=32, kv_dtype="int8", max_batch=3,
+    )
+    be = BatchedEngine(cfg, params, BatchConfig(
+        max_batch=3, n_ctx=64, block=4, paged=True, page_size=32,
+        kv_dtype="int8", lookup_gamma=g, n_pages=4,
+    ))
+    reqs = [be.submit(p, 24, GREEDY, ignore_eos=True) for p in prompts]
+    be.run()
+    assert be.stats.get("preempted", 0) > 0
     for r, w in zip(reqs, want):
         assert r.generated == w, (r.prompt, r.generated, w)
     assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1

@@ -407,6 +407,99 @@ def test_paged_update_straddle_write(npast, desc):
     )
 
 
+@pytest.mark.parametrize(
+    "npast,desc",
+    [
+        ([61, 10], "row0 straddles 3 rows into its next page"),
+        ([63, 127], "single spilled row / boundary at page 2"),
+        ([60, 59], "exact fit (t=4 ends at the boundary, no spill)"),
+    ],
+)
+def test_paged_update_straddle_int8(npast, desc):
+    """Quantized page_straddle: spilled rows land at the head of the next
+    mapped page in BOTH the data pool and the scale pool (exact bytes /
+    1-ULP scales), and the fused attend matches the dense dequant oracle."""
+    from llamavk_tpu.ops.kv_quant import quantize_rows
+
+    rng = np.random.default_rng(23)
+    b, t, h, ps, maxlb, d, hpad = 2, 4, 2, 64, 4, 32, 128
+    n_pages = b * maxlb + 2
+    pk, pv, ks, vs, table = make_paged_int8(rng, b, h, ps, maxlb, d, n_pages,
+                                            hpad)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    npast = jnp.asarray(npast, jnp.int32)
+
+    knq, kns = quantize_rows(k_new)
+    vnq, vns = quantize_rows(v_new)
+    k_dense = np.asarray(gather_pages(pk, table)).copy()
+    v_dense = np.asarray(gather_pages(pv, table)).copy()
+    ks_dense = gather_scales(ks, table).copy()
+    vs_dense = gather_scales(vs, table).copy()
+    for bi in range(b):
+        p0 = int(npast[bi])
+        k_dense[bi, :, p0 : p0 + t] = np.asarray(knq)[bi].transpose(1, 0, 2)
+        v_dense[bi, :, p0 : p0 + t] = np.asarray(vnq)[bi].transpose(1, 0, 2)
+        ks_dense[bi, p0 : p0 + t, :h] = np.asarray(kns)[bi]
+        vs_dense[bi, p0 : p0 + t, :h] = np.asarray(vns)[bi]
+    kf = k_dense.astype(np.float32) * ks_dense[..., :h].transpose(0, 2, 1)[..., None]
+    vf = v_dense.astype(np.float32) * vs_dense[..., :h].transpose(0, 2, 1)[..., None]
+    want = attention_ref(q, jnp.asarray(kf), jnp.asarray(vf), npast)
+
+    out, pk2, pv2, ks2, vs2 = flash_attention_update(
+        q, k_new, v_new, pk[None], pv[None], npast, jnp.int32(0),
+        block_t=32, block_k=64, page_table=table, page_straddle=True,
+        k_scale=ks[None], v_scale=vs[None],
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=3e-2,
+        atol=3e-2 * max(1.0, float(np.abs(np.asarray(want)).max())),
+    )
+    for got_pool, want_dense in (
+        (gather_pages(pk2[0], table), k_dense),
+        (gather_pages(pv2[0], table), v_dense),
+    ):
+        diff = np.abs(
+            np.asarray(got_pool, np.int32) - want_dense.astype(np.int32)
+        )
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 1e-3
+    got_ks = gather_scales(ks2[0], table)
+    got_vs = gather_scales(vs2[0], table)
+    np.testing.assert_allclose(got_ks[..., :h], ks_dense[..., :h], rtol=1e-6)
+    np.testing.assert_allclose(got_vs[..., :h], vs_dense[..., :h], rtol=1e-6)
+
+
+def test_paged_update_straddle_int8_untouched_pages_unchanged():
+    """int8 straddle: pages outside {written, spill} keep exact bytes in the
+    data AND scale pools; a no-spill page-B rewrite is byte-identical."""
+    rng = np.random.default_rng(24)
+    b, t, h, ps, maxlb, d = 2, 4, 2, 64, 3, 32
+    n_pages = b * maxlb + 4
+    pk, pv, ks, vs, table = make_paged_int8(rng, b, h, ps, maxlb, d, n_pages)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    npast = jnp.asarray([62, 10], jnp.int32)  # row0 spills 2 rows; row1 not
+    touched = {
+        int(table[0, 62 // ps]), int(table[0, (62 + t - 1) // ps]),
+        int(table[1, 10 // ps]),
+    }
+    before_k = np.asarray(pk).copy()
+    before_ks = np.asarray(ks).copy()
+    _, pk2, _, ks2, _ = flash_attention_update(
+        q, k_new, v_new, pk[None], pv[None], npast, jnp.int32(0),
+        block_t=32, block_k=64, page_table=table, page_straddle=True,
+        k_scale=ks[None], v_scale=vs[None],
+    )
+    after_k, after_ks = np.asarray(pk2[0]), np.asarray(ks2[0])
+    for p in range(n_pages):
+        if p not in touched:
+            np.testing.assert_array_equal(after_k[p], before_k[p])
+            np.testing.assert_array_equal(after_ks[p], before_ks[p])
+
+
 def test_paged_update_straddle_untouched_pages_unchanged():
     """Pages outside {written page, spill page} keep their exact bytes; when
     nothing spills, the benign page-B rewrite must be byte-identical."""

@@ -31,11 +31,19 @@ def tiny_tp(tmp_path_factory):
     return path
 
 
-def _oracle_streams(cfg, params_shard, mesh, prompts, n_pred, n_ctx=64):
-    fwd = make_sharded_forward(cfg, params_shard, mesh)
+def _oracle_streams(cfg, params_shard, mesh, prompts, n_pred, n_ctx=64,
+                    kv_dtype="bfloat16"):
+    quantized = jnp.dtype(kv_dtype) == jnp.int8
+    fwd = make_sharded_forward(cfg, params_shard, mesh, quantized_kv=quantized)
+    from llamavk_tpu.models.llama import scale_lane_pad
+
+    hpad = scale_lane_pad(cfg.n_head, int(mesh.shape["tp"]))
     outs = []
     for p, n in zip(prompts, n_pred):
-        cache = shard_cache(init_kv_cache(cfg, 1, n_ctx), mesh)
+        cache = shard_cache(
+            init_kv_cache(cfg, 1, n_ctx, dtype=jnp.dtype(kv_dtype), h_pad=hpad),
+            mesh,
+        )
         logits, cache, _ = fwd(
             params_shard, jnp.asarray([p], jnp.int32), cache, jnp.int32(0)
         )
@@ -100,6 +108,189 @@ def test_tp_engine_prefix_caching(tiny_tp):
     be.run()
     for r, w in zip(reqs, want):
         assert r.generated == w, (r.prompt, r.generated, w)
+
+
+def test_tp_engine_int8_kv(tiny_tp):
+    """int8 KV x tensor parallel: the scale planes carry a per-shard
+    128-aligned lane tile (scale_lane_pad) so global-sharded caches and the
+    shard_map-local admission scratch caches agree; streams must match the
+    int8 sharded-forward oracle exactly."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    params_shard = shard_params(params_tp, mesh)
+
+    prompts = [[5, 9, 2, 30], [7, 3, 11]]
+    n_pred = [6, 5]
+    want = _oracle_streams(
+        cfg, params_shard, mesh, prompts, n_pred, kv_dtype="int8"
+    )
+
+    be = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, kv_dtype="int8"),
+        mesh=mesh,
+    )
+    reqs = [be.submit(p, n, GREEDY, ignore_eos=True)
+            for p, n in zip(prompts, n_pred)]
+    be.run()
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+
+
+def test_tp_engine_int8_prefix_caching(tiny_tp):
+    """int8 KV x tp x prefix caching: the prefix cache prefills into a
+    sharded int8 cache (global lane pad) and seeds suffix-only admissions."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    params_shard = shard_params(params_tp, mesh)
+
+    prefix = list(range(3, 15))
+    suffixes = [[3, 1], [4, 4, 4]]
+    want = _oracle_streams(
+        cfg, params_shard, mesh, [prefix + s for s in suffixes], [5, 5],
+        kv_dtype="int8",
+    )
+
+    be = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, kv_dtype="int8"),
+        mesh=mesh,
+    )
+    pid = be.register_prefix(prefix)
+    reqs = [be.submit(s, 5, GREEDY, ignore_eos=True, prefix=pid)
+            for s in suffixes]
+    be.run()
+    for r, w in zip(reqs, want):
+        assert r.generated == w, (r.prompt, r.generated, w)
+
+
+def test_dp_engine_matches_plain(tiny_tp):
+    """dp-only mesh: request slots shard over the dp axis, every dp group
+    decodes its slice in one lockstep program. No tp collectives are
+    involved, so streams equal the plain single-device engine's exactly —
+    greedy AND seeded-sampled (sampling is row-wise)."""
+    reader = CheckpointReader(tiny_tp)
+    cfg, params = params_from_reader(reader)
+    subs = [
+        (([5, 9, 2, 30], 6, GREEDY), {}),
+        (([7, 3, 11], 6, GREEDY), {}),
+        (([1, 2, 3, 4, 5, 6], 5,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+        (([42], 6, GREEDY), {}),
+    ]
+    bcfg = BatchConfig(max_batch=4, n_ctx=64, block=4)
+    plain = BatchedEngine(cfg, params, bcfg)
+    pr = [plain.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    plain.run()
+
+    mesh = make_mesh(tp=1, dp=2, devices=jax.devices()[:2])
+    be = BatchedEngine(cfg, params, bcfg, mesh=mesh)
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, pr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+
+
+def test_dp_tp_engine_with_prefix_and_int8(tiny_tp):
+    """dp x tp x int8 KV x prefix caching all composed: streams equal the
+    tp-only (dp=1) mesh engine's — the dp axis only re-partitions slots."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    prefix = list(range(3, 15))
+    suffixes = [[3, 1], [4, 4, 4], [9], [2, 2]]
+    bcfg = BatchConfig(max_batch=4, n_ctx=64, block=4, kv_dtype="int8")
+
+    mesh1 = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    ref = BatchedEngine(cfg, params_tp, bcfg, mesh=mesh1)
+    fp = ref.register_prefix(prefix)
+    fr = [ref.submit(s, 5, GREEDY, ignore_eos=True, prefix=fp)
+          for s in suffixes]
+    ref.run()
+
+    mesh2 = make_mesh(tp=tp, dp=2, devices=jax.devices()[:2 * tp])
+    be = BatchedEngine(cfg, params_tp, bcfg, mesh=mesh2)
+    pid = be.register_prefix(prefix)
+    reqs = [be.submit(s, 5, GREEDY, ignore_eos=True, prefix=pid)
+            for s in suffixes]
+    be.run()
+    for r, w in zip(reqs, fr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+
+
+def test_tp_engine_paged_matches_flat_tp(tiny_tp):
+    """Paged KV x tensor parallel: the page pool's head axis shards like the
+    flat cache's; block tables and per-slot vectors stay replicated. Streams
+    equal the flat tp engine's with the kv block pinned to the page size
+    (same psum order, same online-softmax accumulation order)."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    subs = [
+        (([5, 9, 2, 30], 6, GREEDY), {}),
+        (([7, 3, 11], 6, GREEDY), {}),
+        (([1, 2, 3, 4, 5, 6], 5,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+    ]
+    flat = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, kv_block=8), mesh=mesh,
+    )
+    fr = [flat.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    flat.run()
+
+    be = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, paged=True, page_size=8),
+        mesh=mesh,
+    )
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, fr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_tp_engine_paged_int8_prefix(tiny_tp):
+    """int8 page pool x tp x prefix page sharing: the scale-plane pool
+    carries the per-shard lane pad; prefix full pages prefill once through
+    _prefill_paged (shard_map) and alias read-only across slots."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    prefix = list(range(3, 40))  # 37 tokens: 1 full 32-row page + 5 rem
+    suffixes = [[3, 1], [4, 4, 4]]
+
+    flat = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, kv_dtype="int8",
+                    kv_block=32),
+        mesh=mesh,
+    )
+    fp = flat.register_prefix(prefix)
+    fr = [flat.submit(s, 5, GREEDY, ignore_eos=True, prefix=fp)
+          for s in suffixes]
+    flat.run()
+
+    be = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=4, n_ctx=64, block=4, kv_dtype="int8",
+                    paged=True, page_size=32),
+        mesh=mesh,
+    )
+    pid = be.register_prefix(prefix)
+    assert len(be.prefixes[pid][0]) == 1
+    rs = [be.submit(s, 5, GREEDY, ignore_eos=True, prefix=pid)
+          for s in suffixes]
+    be.run()
+    for a, b in zip(rs, fr):
+        assert a.generated == b.generated, (a.generated, b.generated)
 
 
 def test_tp_engine_sampled_deterministic(tiny_tp):
