@@ -128,8 +128,8 @@ class BatchedEngine:
             assert int(mesh.shape.get("pp", 1)) == 1, (
                 "BatchedEngine mesh: tp x dp only (no pp stages, v1)"
             )
-            assert not bcfg.shared_prefix and bcfg.lookup_gamma == 0, (
-                "mesh serving: plain/prefix-cached/paged decode only (v1)"
+            assert not bcfg.shared_prefix, (
+                "mesh serving: the shared-prefix pool is single-replica (v1)"
             )
             assert not (bcfg.paged and dp_size > 1), (
                 "paged KV x mesh: tp only (the page pool is one shared "
@@ -432,36 +432,57 @@ class BatchedEngine:
             # table != None: paged pool — the gamma-row verify write may
             # straddle a page boundary (page_straddle spills into the next
             # mapped page). pk != None: shared-prefix pool — n_past stays
-            # LOGICAL; slots hold only suffix rows.
-            pfx_kw = (
-                dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
-                if pk is not None else {}
-            )
-
-            def body(state, _):
-                toks, cache, ctx, n_past = state
-                seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
-                logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, kv_block=kvb,
-                    logits_all=True, page_table=table,
-                    page_straddle=table is not None, **pfx_kw,
+            # LOGICAL; slots hold only suffix rows. Under a mesh the body
+            # runs per-shard (matcher + argmax on replicated/all-gathered
+            # values; dp shards the slot rows like _decode).
+            def body_all(params, cache, toks0, ctx, n_past, table, pk, pv,
+                         pid, plen):
+                pfx_kw = (
+                    dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
+                    if pk is not None else {}
                 )
-                y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
-                k = first_reject(draft == y[:, : gamma - 1])
-                corr = jnp.take_along_axis(
-                    y, jnp.minimum(k, gamma - 1)[:, None], 1
-                )[:, 0]
-                emitted, count = assemble_emitted(k, draft, corr, gamma)
-                ctx = jax.vmap(
-                    lambda c, s, np_: jax.lax.dynamic_update_slice(c, s, (np_,))
-                )(ctx, seq, n_past)
-                return (corr, cache, ctx, n_past + count), (emitted, count)
 
-            state = (toks0, cache, ctx, n_past)
-            (toks, cache, ctx, n_past), (em, cnt) = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
-            return em, cnt, toks, cache, ctx, n_past
+                def body(state, _):
+                    toks, cache, ctx, n_past = state
+                    seq, draft, p = lookup_draft_batched(
+                        ctx, toks, n_past, gamma
+                    )
+                    logits, cache, _ = _fwd(
+                        params, seq, cache, n_past,
+                        logits_all=True, page_table=table,
+                        page_straddle=table is not None, **pfx_kw,
+                    )
+                    y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, g]
+                    k = first_reject(draft == y[:, : gamma - 1])
+                    corr = jnp.take_along_axis(
+                        y, jnp.minimum(k, gamma - 1)[:, None], 1
+                    )[:, 0]
+                    emitted, count = assemble_emitted(k, draft, corr, gamma)
+                    ctx = jax.vmap(
+                        lambda c, s, np_: jax.lax.dynamic_update_slice(
+                            c, s, (np_,)
+                        )
+                    )(ctx, seq, n_past)
+                    return (corr, cache, ctx, n_past + count), (emitted, count)
+
+                state = (toks0, cache, ctx, n_past)
+                (toks, cache, ctx, n_past), (em, cnt) = jax.lax.scan(
+                    body, state, None, length=n_steps
+                )
+                return em, cnt, toks, cache, ctx, n_past
+
+            args = (params, cache, toks0, ctx, n_past, table, pk, pv, pid,
+                    plen)
+            if mesh is None:
+                return body_all(*args)
+            tspec = None if table is None else R
+            return _shmap(
+                body_all,
+                in_specs=(pspec_tree, cspec_tree, D1, D2, D1, tspec,
+                          None, None, None, None),
+                out_specs=(P(None, "dp", None), P(None, "dp"), D1,
+                           cspec_tree, D2, D1),
+            )(*args)
 
         @partial(
             decode_jit,
@@ -479,17 +500,21 @@ class BatchedEngine:
             # KNOWN consumed inputs seq[:, :i+1], so penalty folds in
             # per-position with static window shifts.
             w = last.shape[1]
-            nb = toks0.shape[0]
-            pfx_kw = (
-                dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
-                if pk is not None else {}
-            )
 
-            def body(state, _):
+            def body_all(params, cache, toks0, ctx, last, kd, n_past, top_p,
+                         temp, penalty, table, pk, pv, pid, plen):
+              keys0 = jax.random.wrap_key_data(kd)
+              nb = toks0.shape[0]
+              pfx_kw = (
+                  dict(prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen)
+                  if pk is not None else {}
+              )
+
+              def body(state, _):
                 toks, cache, ctx, last, keys, n_past = state
                 seq, draft, p = lookup_draft_batched(ctx, toks, n_past, gamma)
-                logits, cache, _ = llama_forward(
-                    params, seq, cache, n_past, cfg_, kv_block=kvb,
+                logits, cache, _ = _fwd(
+                    params, seq, cache, n_past,
                     logits_all=True, page_table=table,
                     page_straddle=table is not None, **pfx_kw,
                 )
@@ -551,11 +576,30 @@ class BatchedEngine:
                     (emitted, count),
                 )
 
-            state = (toks0, cache, ctx, last, keys, n_past)
-            (toks, cache, ctx, last, keys, n_past), (em, cnt) = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
-            return em, cnt, toks, cache, ctx, last, keys, n_past
+              state = (toks0, cache, ctx, last, keys0, n_past)
+              (toks, cache, ctx, last, keys, n_past), (em, cnt) = jax.lax.scan(
+                  body, state, None, length=n_steps
+              )
+              return (em, cnt, toks, cache, ctx, last,
+                      jax.random.key_data(keys), n_past)
+
+            kd = jax.random.key_data(keys)
+            args = (params, cache, toks0, ctx, last, kd, n_past, top_p, temp,
+                    penalty, table, pk, pv, pid, plen)
+            if mesh is None:
+                out = body_all(*args)
+            else:
+                tspec = None if table is None else R
+                out = _shmap(
+                    body_all,
+                    in_specs=(pspec_tree, cspec_tree, D1, D2, D2, D2, D1, D1,
+                              D1, D1, tspec, None, None, None, None),
+                    out_specs=(P(None, "dp", None), P(None, "dp"), D1,
+                               cspec_tree, D2, D2, D2, D1),
+                )(*args)
+            em, cnt, toks, cache, ctx, last, kd, n_past = out
+            return (em, cnt, toks, cache, ctx, last,
+                    jax.random.wrap_key_data(kd), n_past)
 
         self._decode_lookup_sampled = _decode_lookup_sampled
 

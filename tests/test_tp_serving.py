@@ -293,6 +293,93 @@ def test_tp_engine_paged_int8_prefix(tiny_tp):
         assert a.generated == b.generated, (a.generated, b.generated)
 
 
+def test_tp_engine_lookup_greedy_equivalence(tiny_tp):
+    """Prompt-lookup speculation x tensor parallel: greedy lookup streams
+    equal the plain tp engine's exactly (lookup is lossless for greedy),
+    with real acceptances on self-repeating prompts."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    prompts = [[5, 9, 2, 30, 5, 9], [7, 3, 11, 7, 3]]
+
+    plain = BatchedEngine(
+        cfg, params_tp, BatchConfig(max_batch=2, n_ctx=64, block=4),
+        mesh=mesh,
+    )
+    # 24 tokens: tiny-model greedy streams go periodic within a few tokens,
+    # so the 2-gram matcher reliably finds acceptances over this horizon
+    pr = [plain.submit(p, 24, GREEDY, ignore_eos=True) for p in prompts]
+    plain.run()
+
+    look = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=2, n_ctx=64, block=4, lookup_gamma=3),
+        mesh=mesh,
+    )
+    lr = [look.submit(p, 24, GREEDY, ignore_eos=True) for p in prompts]
+    look.run()
+    assert look.stats.get("accepted", 0) > 0  # speculation really fired
+    for a, b in zip(lr, pr):
+        assert a.generated == b.generated, (a.prompt, a.generated, b.generated)
+
+
+def test_tp_engine_lookup_paged(tiny_tp):
+    """lookup x paged x tp: verify writes straddle pages through the meshed
+    paged closures; greedy streams equal the flat-tp lookup engine's with
+    the kv block pinned to the page size."""
+    tp = 2
+    reader = CheckpointReader(tiny_tp)
+    cfg, params_tp = params_from_reader(reader, tp=tp)
+    mesh = make_mesh(tp=tp, dp=1, devices=jax.devices()[:tp])
+    prompts = [[5, 9, 2, 30, 5, 9], [7, 3, 11, 7, 3]]
+
+    flat = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=2, n_ctx=64, block=4, lookup_gamma=3,
+                    kv_block=8),
+        mesh=mesh,
+    )
+    fr = [flat.submit(p, 8, GREEDY, ignore_eos=True) for p in prompts]
+    flat.run()
+
+    be = BatchedEngine(
+        cfg, params_tp,
+        BatchConfig(max_batch=2, n_ctx=64, block=4, lookup_gamma=3,
+                    paged=True, page_size=8),
+        mesh=mesh,
+    )
+    reqs = [be.submit(p, 8, GREEDY, ignore_eos=True) for p in prompts]
+    be.run()
+    for r, w in zip(reqs, fr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+    assert be.pager.alloc.n_free == be.pager.alloc.n_pages - 1
+
+
+def test_dp_engine_lookup_sampled_matches_plain(tiny_tp):
+    """Lookup speculation x dp: greedy AND seeded-sampled streams equal the
+    plain (non-mesh) lookup engine's — dp only re-partitions the slot rows,
+    the per-row rejection sampling draws identically."""
+    reader = CheckpointReader(tiny_tp)
+    cfg, params = params_from_reader(reader)
+    subs = [
+        (([5, 9, 2, 30, 5, 9], 8, GREEDY), {}),
+        (([1, 2, 3, 1, 2, 3], 6,
+          SamplerParams(temp=1.1, top_k=20, top_p=0.9)), {"seed": 7}),
+    ]
+    bcfg = BatchConfig(max_batch=2, n_ctx=64, block=4, lookup_gamma=3)
+    plain = BatchedEngine(cfg, params, bcfg)
+    pr = [plain.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    plain.run()
+
+    mesh = make_mesh(tp=1, dp=2, devices=jax.devices()[:2])
+    be = BatchedEngine(cfg, params, bcfg, mesh=mesh)
+    reqs = [be.submit(*a, **dict(k, ignore_eos=True)) for a, k in subs]
+    be.run()
+    for r, w in zip(reqs, pr):
+        assert r.generated == w.generated, (r.prompt, r.generated, w.generated)
+
+
 def test_tp_engine_sampled_deterministic(tiny_tp):
     """Seeded sampled streams are reproducible across engine instances (the
     per-device sampler runs on replicated logits — every device draws the
