@@ -59,7 +59,24 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    ap = build_argparser()
+    args = ap.parse_args(argv)
+    # validate flag combinations upfront (the engine asserts the same
+    # invariants, but an argparse error names the flag instead of a
+    # traceback from BatchedEngine.__init__)
+    if args.dp > 1 and args.max_batch % args.dp:
+        ap.error(f"--max-batch {args.max_batch} must be divisible by "
+                 f"--dp {args.dp} (slots shard over the dp axis)")
+    if args.dp > 1 and args.paged:
+        ap.error("--paged serves tp-only meshes (the page pool is one "
+                 "shared allocator; use --tp without --dp)")
+    if args.shared_prefix and args.paged:
+        ap.error("--shared-prefix and --paged are exclusive "
+                 "(the block table IS the sharing mechanism)")
+    if args.shared_prefix and (args.tp > 1 or args.dp > 1):
+        ap.error("--shared-prefix is single-replica (v1); drop --tp/--dp")
+    if args.shared_prefix and args.kv_dtype != "bfloat16":
+        ap.error("--shared-prefix requires --kv-dtype bfloat16 (v1)")
     cfg, params, tok = load_model(args.model, tp=args.tp)
     mesh = None
     if args.tp > 1 or args.dp > 1:

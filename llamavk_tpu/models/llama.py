@@ -362,11 +362,14 @@ def llama_forward(
     page_straddle: bool = False,  # paged + multi-token writes at ARBITRARY
     # n_past (speculative verify): allow a t-block write to cross a page
     # boundary (second RMW window in the kernel). bf16 pools only.
-    kv_block: int = 0,  # cap the flash kernels' KV block (0 = fitted
-    # default). Pins the online-softmax accumulation order — a flat cache at
-    # kv_block=c sums exactly like a paged pool with page_size=c (see
-    # ops/flash_attn._fit_block_k). Explicit argument, NOT an env read: env
-    # reads at trace time poison JAX's same-code-closure jit cache.
+    kv_block: int | None = None,  # cap the flash kernels' KV block
+    # (None/0 = fitted default, which is T-DEPENDENT: 512 for prefill-sized
+    # calls t>=256, 256 for decode — exact-stream comparisons across chunk
+    # sizes must pin an explicit value). Pins the online-softmax
+    # accumulation order — a flat cache at kv_block=c sums exactly like a
+    # paged pool with page_size=c (see ops/flash_attn._fit_block_k).
+    # Explicit argument, NOT an env read: env reads at trace time poison
+    # JAX's same-code-closure jit cache.
 ) -> tuple[jax.Array, KVCache, jax.Array]:
     """Evaluate T new tokens. Returns (logits, updated cache, embeddings).
 

@@ -484,6 +484,29 @@ def _q4_matmul_i8(xf, qw, stacked, layer_idx, k, n, g, chunks, out_dtype, lead):
     return y[:b, :n].astype(out_dtype).reshape(*lead, n)
 
 
+def _check_i8_supported() -> None:
+    """dot_mode="i8" cannot run on real TPU hardware: Mosaic fails to
+    compile the group-BATCHED int8 dot_general (tpu_compile_helper internal
+    error, measured 2026-08-18 on v5e — see _kernel_q4_i8 and
+    tools/bench_int8_mxu.py, the go/no-go probe to re-run after toolchain
+    updates). Fail loudly at trace time instead of shipping a kernel the
+    backend will reject (VERDICT r3 #7)."""
+    if interpret_mode():
+        return
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "tpu":
+        raise NotImplementedError(
+            "dot_mode='i8' (LLAMAVK_Q4_DOT=i8) is not compilable on TPU: "
+            "Mosaic lacks batched int8 group dots (measured 2026-08-18). "
+            "Use the default bf16 path, or re-probe with "
+            "tools/bench_int8_mxu.py after a toolchain update. The i8 path "
+            "remains available in Pallas interpret mode (CPU tests)."
+        )
+
+
 def _fit_bn(bn: int, kc: int, g: int, bb: int) -> int:
     """Shrink the N tile until the kernel's VMEM working set fits."""
     def need(bn_):
@@ -551,6 +574,8 @@ def q4_matmul(
     # "i4": int4-bitcast unpack of the SAME ilv byte plane (see _kernel_q4)
     unpack = "i4" if (mode == "i4" and qw.layout == LAYOUT_ILV) else "shift"
 
+    if mode == "i8":
+        _check_i8_supported()
     if (
         mode == "i8"
         and qw.bias is None

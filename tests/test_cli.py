@@ -175,3 +175,21 @@ def test_generate_cli_sigint_interject(f32_model):
     with pytest.raises(SystemExit) as ei:
         run(args, stdin=SigintStdin(), stdout=io.StringIO())
     assert ei.value.code == 130
+
+
+@pytest.mark.parametrize("argv,msg", [
+    (["--dp", "2", "--max-batch", "9"], "divisible"),
+    (["--dp", "2", "--paged"], "tp-only"),
+    (["--shared-prefix", "--paged"], "exclusive"),
+    (["--shared-prefix", "--tp", "2"], "single-replica"),
+    (["--shared-prefix", "--kv-dtype", "int8"], "bfloat16"),
+])
+def test_serve_flag_validation(argv, msg, capsys):
+    """Invalid serving flag combinations exit as argparse errors naming the
+    flag, not engine-construction AssertionErrors (ADVICE r3)."""
+    from llamavk_tpu.cli.serve import main as serve_main
+
+    with pytest.raises(SystemExit) as ei:
+        serve_main(["-m", "/nonexistent.bin", *argv])
+    assert ei.value.code == 2
+    assert msg in capsys.readouterr().err

@@ -234,3 +234,21 @@ def test_q4_matmul_i4_chunked(chunks):
     y = np.asarray(q4_matmul(x, qw, out_dtype=jnp.float32, dot_mode="i4"))
     np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
                                rtol=2e-2, atol=2e-2)
+
+
+def test_q4_matmul_i8_rejected_on_tpu(monkeypatch):
+    """dot_mode='i8' must fail LOUDLY when the backend is a real TPU (Mosaic
+    cannot compile the batched int8 group dot — tools/bench_int8_mxu.py),
+    instead of shipping a kernel the compiler rejects mid-run."""
+    import importlib
+
+    # the ops package re-exports the q4_matmul FUNCTION under the same name,
+    # shadowing the submodule attribute — resolve the module explicitly
+    q4m = importlib.import_module("llamavk_tpu.ops.q4_matmul")
+
+    monkeypatch.setattr(q4m, "interpret_mode", lambda: False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    qw, _ = _make_qw(128, 128, LAYOUT_ILV)
+    x = jnp.zeros((1, 128), jnp.bfloat16)
+    with pytest.raises(NotImplementedError, match="bench_int8_mxu"):
+        q4_matmul(x, qw, dot_mode="i8")
