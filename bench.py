@@ -34,6 +34,7 @@ from llamavk_tpu.models import (
     ModelConfig,
     init_kv_cache,
     llama_forward,
+    params_to_i4,
     synthetic_params,
 )
 from llamavk_tpu.utils.jitopts import decode_jit
@@ -56,8 +57,16 @@ def decode_step_bytes(params, cfg, batch, n_ctx, kv_itemsize, n_past_avg,
     bounds nblocks by npast), reads K and V per layer, and RMW-writes one
     step*-aligned window per new row; activations/residuals live in VMEM
     between fused ops and are not charged."""
+    def real_bytes(x):
+        # jnp int4 arrays report itemsize 1 (one byte per NIBBLE) through
+        # .nbytes; the HBM footprint packs two per byte. Padded zero groups
+        # (i4_group_pad) are counted — they are really read every step.
+        if x.dtype.name in ("int4", "uint4"):
+            return x.size // 2
+        return x.nbytes
+
     leaves = jax.tree_util.tree_leaves(params)
-    total_w = sum(x.nbytes for x in leaves)
+    total_w = sum(real_bytes(x) for x in leaves)
     emb = sum(x.nbytes for x in jax.tree_util.tree_leaves(params.tok_embeddings))
     w_bytes = total_w - emb + batch * (emb // cfg.n_vocab)
     s_read = min(-(-int(n_past_avg + 1) // block_k) * block_k, n_ctx)
@@ -69,7 +78,8 @@ def decode_step_bytes(params, cfg, batch, n_ctx, kv_itemsize, n_past_avg,
 
 
 def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
-               params=None, measure: int = 128, do_prefill: bool = True):
+               params=None, measure: int = 128, do_prefill: bool = True,
+               int4: bool = True):
     """Measure one (model, batch, kv dtype) decode config on the chip.
 
     Returns a dict with ms/step, tok/s, achieved GB/s, % of SoL — and the
@@ -80,8 +90,13 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
         log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
         t0 = time.perf_counter()
         params = synthetic_params(cfg, seed=0)
+        if int4:
+            # int4-plane weight storage (models/loader.params_to_i4): the
+            # kernel's native int4->f32 convert replaces the shift unpack
+            params = params_to_i4(params)
         jax.block_until_ready(params)
-        log(f"params ready in {time.perf_counter() - t0:.1f}s")
+        log(f"params ready in {time.perf_counter() - t0:.1f}s"
+            f" (int4 planes: {int4})")
 
     cache = init_kv_cache(cfg, batch, n_ctx, dtype=kv_dtype)
 
@@ -254,6 +269,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1, help="decode batch size")
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8"])
+    ap.add_argument("--no-int4", action="store_true",
+                    help="keep int8 byte-packed weight planes (the pre-r4 "
+                    "shift-unpack path) instead of int4-plane storage")
     ap.add_argument("--table", action="store_true",
                     help="sweep the roofline grid and write BENCH_TABLE.md")
     args = ap.parse_args()
@@ -271,7 +289,8 @@ def main():
         }))
         return
 
-    r = run_config(args.model, args.batch, args.n_ctx, args.kv_dtype)
+    r = run_config(args.model, args.batch, args.n_ctx, args.kv_dtype,
+                   int4=not args.no_int4)
     print(
         json.dumps(
             {

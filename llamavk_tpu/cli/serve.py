@@ -73,10 +73,9 @@ def main(argv=None):
     if args.shared_prefix and args.paged:
         ap.error("--shared-prefix and --paged are exclusive "
                  "(the block table IS the sharing mechanism)")
-    if args.shared_prefix and (args.tp > 1 or args.dp > 1):
-        ap.error("--shared-prefix is single-replica (v1); drop --tp/--dp")
-    if args.shared_prefix and args.kv_dtype != "bfloat16":
-        ap.error("--shared-prefix requires --kv-dtype bfloat16 (v1)")
+    if args.shared_prefix and args.dp > 1:
+        ap.error("--shared-prefix composes with --tp, not --dp "
+                 "(one pool; dp shards the request slots)")
     cfg, params, tok = load_model(args.model, tp=args.tp)
     mesh = None
     if args.tp > 1 or args.dp > 1:

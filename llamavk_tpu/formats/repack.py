@@ -43,6 +43,11 @@ import numpy as np
 from .q4 import QK
 
 LAYOUT_ILV = "ilv"
+# device-only storage form: a jnp.int4 plane [K_stor, N] (ilv row order with
+# the per-chunk group count padded to a multiple of 128 — Mosaic int4 slices
+# need 128-row alignment). Produced by ops.qweight.qweight_to_i4; never
+# written to checkpoints.
+LAYOUT_I4 = "i4st"
 LAYOUT_LIN = "lin"
 
 

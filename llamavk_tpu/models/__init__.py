@@ -13,6 +13,7 @@ from .llama import (
 from .loader import (
     load_model,
     params_from_reader,
+    params_to_i4,
     random_tiny_model,
     random_ref_model,
     synthetic_params,

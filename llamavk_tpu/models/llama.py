@@ -444,12 +444,10 @@ def llama_forward(
 
     prefix = prefix_kv is not None
     if prefix:
-        assert cache.pos is None and not cache.quantized, (
-            "shared-prefix: bf16 non-ring slot caches only (v1)"
-        )
-        assert pp_axis is None and tp_axis is None, (
-            "shared-prefix: single-replica forward only (v1)"
-        )
+        # slot cache may be bf16 or int8; the POOL is always bf16 (one pool
+        # copy serves every row — full precision costs O(pool), not O(batch))
+        assert cache.pos is None, "shared-prefix: non-ring slot caches only"
+        assert pp_axis is None, "shared-prefix: no pipeline stages (v1)"
         assert vector_past, "shared-prefix requires per-row n_past"
         pfx_len_vec = jnp.asarray(prefix_len, jnp.int32)
         pfx_id_vec = jnp.asarray(prefix_id, jnp.int32)
@@ -560,6 +558,9 @@ def llama_forward(
                     k_scale=cks, v_scale=cvs, kv_pos=new_pos, write_row=wrow,
                     batch_offset=boff_l, ring_bounded=True,
                     block_k=kv_block or bk_default,
+                    prefix_k=prefix_kv[0] if prefix else None,
+                    prefix_v=prefix_kv[1] if prefix else None,
+                    prefix_id=pfx_id_vec, prefix_len=pfx_len_vec,
                     # paged: cap the query block at the page size so a write
                     # block never straddles a page (see the bf16 call below)
                     # — unless page_straddle explicitly allows the spill

@@ -251,11 +251,36 @@ def params_from_reader(
     return cfg, params
 
 
+def params_to_i4(params: LlamaParams) -> LlamaParams:
+    """Convert every packed linear weight to int4-PLANE storage
+    (ops/qweight.qweight_to_i4): the HBM array becomes jnp.int4 in ilv row
+    order (per-chunk group count padded to 128), and the matmul kernel
+    replaces the widen/shift/mask unpack with one native int4->f32 convert
+    — measured 533 -> 854 GB/s on the B=1 wqkv matmul, +17-60% on every
+    decode matmul shape (tools/bench_i4_stacked.py, v5e 2026-08-20).
+
+    Same HBM bytes per real weight (two nibbles per byte either way; the
+    only overhead is zero-padding group counts to 128 — 11.6% extra reads
+    on the 7B w2, still a net win). The quantized EMBEDDING stays byte-
+    packed (it is gathered, not matmul'd). Conversion runs once, on device,
+    inside a jit."""
+    from ..ops.qweight import QWeight, qweight_to_i4
+
+    def conv(w):
+        return qweight_to_i4(w) if isinstance(w, QWeight) else w
+
+    return jax.tree.map(
+        conv, params, is_leaf=lambda x: isinstance(x, QWeight)
+    )
+
+
 def load_model(
-    path: str, n_parts: int | None = None, **kw
+    path: str, n_parts: int | None = None, int4_planes: bool = False, **kw
 ) -> tuple[ModelConfig, LlamaParams, Tokenizer]:
     reader = CheckpointReader(path, n_parts)
     cfg, params = params_from_reader(reader, **kw)
+    if int4_planes:
+        params = params_to_i4(params)
     return cfg, params, Tokenizer(reader.vocab)
 
 

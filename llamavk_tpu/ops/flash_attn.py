@@ -163,6 +163,9 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
     kwin, vwin, wsems = next(it), next(it), next(it)
     if quantized:
         kswin, vswin, swsems = next(it), next(it), next(it)
+    pkbuf = pvbuf = pfsems = None
+    if prefix:
+        pkbuf, pvbuf, pfsems = next(it), next(it), next(it)
 
     b = pl.program_id(0)
     babs = boff_ref[0] + b  # absolute cache batch row (pp microbatch offset)
@@ -433,6 +436,7 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
             babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
             plen_ref=plen_ref, ptab_ref=ptab_ref,
+            pkbuf=pkbuf, pvbuf=pvbuf, pfsems=pfsems,
             block_t=block_t, block_k=block_k, scale=scale,
             ring_bounded=ring_bounded, pblock_k=pblock_k)
 
@@ -461,12 +465,16 @@ def _read_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
         ksbuf, vsbuf, ssems = next(it), next(it), next(it)
     if ring:
         posbuf, psems = next(it), next(it)
+    pkbuf = pvbuf = pfsems = None
+    if prefix:
+        pkbuf, pvbuf, pfsems = next(it), next(it), next(it)
     babs = boff_ref[0] + pl.program_id(0)
     _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
             babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
             plen_ref=plen_ref, ptab_ref=ptab_ref,
+            pkbuf=pkbuf, pvbuf=pvbuf, pfsems=pfsems,
             block_t=block_t, block_k=block_k, scale=scale,
             ring_bounded=ring_bounded, pblock_k=pblock_k)
 
@@ -475,7 +483,7 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
             pos_hbm=None, posbuf=None, psems=None, babs=None,
             pk_hbm=None, pv_hbm=None, pid_ref=None, plen_ref=None,
-            ptab_ref=None, *,
+            ptab_ref=None, pkbuf=None, pvbuf=None, pfsems=None, *,
             block_t: int, block_k: int, scale: float,
             ring_bounded: bool = False, pblock_k: int = 0):
     """One program: HG heads x BT queries against the ragged cache prefix.
@@ -598,11 +606,17 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         # the general form of prefix caching: ONE pool copy of a shared
         # system prompt serves every batch row (reference seed: historyIndex
         # indirection, vulkan/llama-vk.cpp:984-987).
+        #
+        # The pool stays bf16 even over an int8 slot cache (prefix rows are
+        # written once and read by every batch row — full precision costs
+        # O(pool), not O(batch)), so the pre-pass streams through its OWN
+        # scratch buffers (pkbuf/pvbuf, pool dtype) rather than reusing the
+        # cache-dtype kbuf/vbuf.
         pid = pid_ref[b]
         plen = plen_ref[b]
         # the prefix pass uses its own block size (a divisor of the pool
-        # length, <= block_k so the blocks fit the shared scratch buffers —
-        # the slot cache's block need not divide the pool length)
+        # length, <= block_k so VMEM stays bounded — the slot cache's block
+        # need not divide the pool length)
         pbk = pblock_k or block_k
         pnblocks = pl.cdiv(plen, pbk)
 
@@ -610,14 +624,14 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             return pltpu.make_async_copy(
                 pk_hbm.at[layer, pid, pl.ds(hb * hg, hg),
                           pl.ds(i * pbk, pbk), :],
-                kbuf.at[slot, :, 0:pbk], sems.at[0, slot],
+                pkbuf.at[slot], pfsems.at[0, slot],
             )
 
         def pv_dma(slot, i):
             return pltpu.make_async_copy(
                 pv_hbm.at[layer, pid, pl.ds(hb * hg, hg),
                           pl.ds(i * pbk, pbk), :],
-                vbuf.at[slot, :, 0:pbk], sems.at[1, slot],
+                pvbuf.at[slot], pfsems.at[1, slot],
             )
 
         @pl.when(pnblocks > 0)
@@ -636,7 +650,7 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
 
             pk_dma(slot, i).wait()
             pv_dma(slot, i).wait()
-            kk = kbuf[slot][:, 0:pbk]
+            kk = pkbuf[slot]
             s = jax.lax.dot_general(
                 q.astype(kk.dtype), kk,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -650,7 +664,7 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            vv = vbuf[slot][:, 0:pbk]
+            vv = pvbuf[slot]
             pv = jax.lax.dot_general(
                 p.astype(vv.dtype), vv,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -791,8 +805,8 @@ def flash_attention(
     ring = kv_pos is not None
     prefix = prefix_k is not None
     paged = page_table is not None
-    assert not (prefix and (quantized or ring)), (
-        "shared-prefix attention: bf16 non-ring caches only (v1)"
+    assert not (prefix and ring), (
+        "shared-prefix attention: non-ring slot caches only"
     )
     assert not (paged and (ring or prefix)), (
         "paged KV: non-ring caches, no prefix-pool pre-pass (prefix "
@@ -813,7 +827,11 @@ def flash_attention(
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
     pbk = 0
     if prefix:
-        assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
+        # the pool is ALWAYS bf16, even over an int8 slot cache: one pool
+        # copy serves every batch row, so full precision costs O(pool)
+        assert prefix_k.dtype == jnp.bfloat16 == prefix_v.dtype, (
+            "prefix pool must be bf16"
+        )
         pbk = _fit_block_k(min(bk, prefix_k.shape[3]), prefix_k.shape[3])
     bt = min(block_t, t)
     tpad = -(-t // bt) * bt
@@ -885,6 +903,14 @@ def flash_attention(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         extra_args += [kv_pos]
+    if prefix:
+        # dedicated bf16 double-buffers for the pool pre-pass (the slot
+        # cache's kbuf/vbuf may be int8 and are sized for bk, not pbk)
+        extra_scratch += [
+            pltpu.VMEM((2, hg, pbk, d), jnp.bfloat16),
+            pltpu.VMEM((2, hg, pbk, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     paged_scalars = (
         [jnp.asarray(page_table, jnp.int32)] if paged else []
     )
@@ -984,8 +1010,8 @@ def flash_attention_update(
     ring = kv_pos is not None
     prefix = prefix_k is not None
     paged = page_table is not None
-    assert not (prefix and (quantized or ring)), (
-        "shared-prefix attention: bf16 non-ring caches only (v1)"
+    assert not (prefix and ring), (
+        "shared-prefix attention: non-ring slot caches only"
     )
     assert not (paged and (ring or prefix)), (
         "paged KV: non-ring caches, no prefix-pool pre-pass"
@@ -998,7 +1024,10 @@ def flash_attention_update(
     bk = _fit_block_k(block_k, s, step=32 if quantized else 8)
     pbk = 0
     if prefix:
-        assert prefix_k.dtype == k.dtype and prefix_v.dtype == v.dtype
+        # pool stays bf16 even over int8 slot caches (see flash_attention)
+        assert prefix_k.dtype == jnp.bfloat16 == prefix_v.dtype, (
+            "prefix pool must be bf16"
+        )
         pbk = _fit_block_k(min(bk, prefix_k.shape[3]), prefix_k.shape[3])
     bt = min(block_t, t)
     assert t % bt == 0, (t, bt)  # caller falls back to the unfused path
@@ -1058,9 +1087,9 @@ def flash_attention_update(
         in_specs += [any_spec, any_spec]
         operands += [prefix_k, prefix_v]
     # aliases index the FLATTENED inputs (scalar-prefetch args included):
-    # n_scalars + q,knew,vnew → k is input n_scalars+3, v +4, scales +5, +6
-    # (+2 more when the prefix pool operands sit between v and the scales —
-    # but prefix excludes quantized in v1, so scales keep +5/+6)
+    # n_scalars + q,knew,vnew → k is input n_scalars+3, v +4; the scale
+    # planes sit after the (optional) prefix pool operands, so they alias at
+    # +5+2p / +6+2p with p = 1 when a prefix pool rides along
     aliases = {n_scalars + 3: 1, n_scalars + 4: 2}
     scratch = [
         pltpu.VMEM((2, hg, bk, d), k.dtype),
@@ -1077,7 +1106,8 @@ def flash_attention_update(
             jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ]
         operands += [k_scale, v_scale]
-        aliases.update({n_scalars + 5: 3, n_scalars + 6: 4})
+        poff = 2 * prefix
+        aliases.update({n_scalars + 5 + poff: 3, n_scalars + 6 + poff: 4})
         scratch += [
             pltpu.VMEM((2, bk, hs), jnp.float32),
             pltpu.VMEM((2, bk, hs), jnp.float32),
@@ -1106,6 +1136,13 @@ def flash_attention_update(
             pltpu.VMEM((swin, hs), jnp.float32),
             pltpu.VMEM((swin, hs), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+        ]
+    if prefix:
+        # dedicated bf16 pre-pass buffers (pool dtype; see flash_attention)
+        scratch += [
+            pltpu.VMEM((2, hg, pbk, d), jnp.bfloat16),
+            pltpu.VMEM((2, hg, pbk, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ]
     results = pl.pallas_call(
         kernel,

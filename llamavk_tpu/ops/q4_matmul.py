@@ -24,9 +24,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.q4 import QK
-from ..formats.repack import LAYOUT_ILV
+from ..formats.repack import LAYOUT_I4, LAYOUT_ILV
 from .pallas_backend import interpret_mode
-from .qweight import QWeight, dequantize_qweight
+from .qweight import QWeight, dequantize_qweight, i4_group_pad
 
 
 def to_ilv(x: jax.Array, k: int, chunks: int = 1) -> jax.Array:
@@ -60,6 +60,23 @@ def to_i4lv(x: jax.Array, k: int, chunks: int = 1) -> jax.Array:
     x = x.reshape(*lead, chunks, g, 2, m)
     x = jnp.moveaxis(x, -1, -3)  # (chunks, m, g, 2)
     return x.reshape(*lead, k)
+
+
+def to_i4st(x: jax.Array, k: int, chunks: int, gp: int) -> jax.Array:
+    """Activation order for int4-plane storage (LAYOUT_I4): ilv order with
+    the per-chunk group axis zero-padded to gp (matching the plane's padded
+    rows, which hold zero weights).
+
+        x'[..., c, m*gp + g] = x[..., c, g*QK + m]  for g < Kc/QK, else 0
+    """
+    kc = k // chunks
+    gc = kc // QK
+    lead = x.shape[:-1]
+    x = x.reshape(*lead, chunks, gc, QK)
+    if gp != gc:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, gp - gc), (0, 0)])
+    x = x.swapaxes(-1, -2)  # [..., chunks, QK, gp]
+    return x.reshape(*lead, chunks * QK * gp)
 
 
 def _group_sums(x: jax.Array, k: int) -> jax.Array:
@@ -103,7 +120,23 @@ def _kernel_q4(
     g = s_ref.shape[0]
     s = s_ref[:].astype(mul_dtype)  # [G, BN]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
-    if layout == LAYOUT_ILV and unpack == "i4":
+    if layout == LAYOUT_I4:
+        # int4-PLANE storage (qweight_to_i4): p_ref is jnp.int4
+        # [K_stor, BN], row m*Gp + g scaled by s[g] — one native int4 ->
+        # mul_dtype widening convert replaces the whole widen/shift/mask
+        # unpack (~5 -> ~2 VPU ops/weight; v5e B=1 wqkv 533 -> 854 GB/s,
+        # tools/bench_i4_stacked.py). Gp is 128-row aligned by construction
+        # (i4_group_pad), which Mosaic's int4 slicing requires.
+        m_steps = p_ref.shape[0] // g  # == QK
+        for m in range(m_steps):
+            w = (p_ref[m * g : (m + 1) * g, :].astype(mul_dtype) * s).astype(
+                dot_dtype
+            )
+            acc += jnp.dot(
+                x[:, m * g : (m + 1) * g], w,
+                preferred_element_type=jnp.float32,
+            )
+    elif layout == LAYOUT_ILV and unpack == "i4":
         # int4-bitcast unpack (x in to_i4lv order): byte row r reinterprets
         # as int4 rows 2r (lo) / 2r+1 (hi) — one native int4->mul_dtype
         # widening convert replaces the widen+2-shift sequence (~5 -> ~3 VPU
@@ -310,12 +343,15 @@ def _chunk_matmul_stacked(
     bp, kc = xc.shape
     L, half_full, npad = packed.shape
     g_full = scales.shape[1]
-    half = kc // 2
+    # packed rows per chunk: int4 planes (LAYOUT_I4) carry one row per
+    # element (xc width == storage width), byte planes pack two per row
+    half = kc if layout == LAYOUT_I4 else kc // 2
     g = kc // QK
     grid = (bp // bb, npad // bn)
     cost = pl.CostEstimate(
         flops=2 * bp * kc * npad,
-        bytes_accessed=half * npad + 2 * g * npad + 2 * bp * kc + 4 * bp * npad,
+        bytes_accessed=kc // 2 * npad + 2 * g * npad + 2 * bp * kc
+        + 4 * bp * npad,
         transcendentals=0,
     )
     # block indices are in units of the block shape; chunk c's rows start at
@@ -555,14 +591,27 @@ def q4_matmul(
     if mul_dtype is None:
         mul_dtype = _ENV_MUL
     stacked = layer_idx is not None
-    if stacked:
+    chunks = qw.chunks
+    i4 = qw.layout == LAYOUT_I4
+    if i4:
+        # int4-plane storage: the plane rows are group-PADDED, so the
+        # logical K comes from x; per-chunk storage width is QK * Gp.
+        # f32 scale mul is the measured-fastest variant (bf16 mul is
+        # SLOWER here — tools/bench_i4_stacked.py i4st vs i4st_bf16).
+        mul_dtype = jnp.float32
+        k = x.shape[-1]
+        n = qw.packed.shape[-1]
+        g = qw.scales.shape[-2]  # chunks * Gp
+        assert g // chunks == i4_group_pad((k // chunks) // QK), (k, g, chunks)
+    elif stacked:
         k = 2 * qw.packed.shape[-2]
         n = qw.packed.shape[-1]
         g = qw.scales.shape[-2]
     else:
         k, n, g = qw.k, qw.n, qw.g
-    chunks = qw.chunks
     kc = k // chunks
+    # per-chunk STORAGE rows of x/packed (i4st pads groups to 128)
+    kc_eff = QK * (g // chunks) if i4 else kc
     lead = x.shape[:-1]
     b = 1
     for d in lead:
@@ -608,9 +657,9 @@ def q4_matmul(
         # that divides N exactly (true for every LLaMA matmul width)
         bp = _round_up(max(b, 8), 8)
         bb = min(block_b, bp)
-        while bb > 8 and bb * kc * 2 > 6 * 1024 * 1024:
+        while bb > 8 and bb * kc_eff * 2 > 6 * 1024 * 1024:
             bb //= 2  # keep the activation tile within VMEM for large K
-        bn = _fit_bn(min(block_n, n), kc, g // chunks, bb)
+        bn = _fit_bn(min(block_n, n), kc_eff, g // chunks, bb)
         while bn >= 128 and (n % bn or bn % 128):
             bn -= 128
         if bn < 128:
@@ -625,7 +674,9 @@ def q4_matmul(
                 if qw.bias is not None
                 else None
             )
-            if qw.layout == LAYOUT_ILV:
+            if i4:
+                xf = to_i4st(xf, k, chunks, g // chunks)
+            elif qw.layout == LAYOUT_ILV:
                 xf = to_i4lv(xf, k, chunks) if unpack == "i4" else to_ilv(
                     xf, k, chunks
                 )
@@ -636,7 +687,7 @@ def q4_matmul(
             y = None
             for c in range(chunks):
                 yc = _chunk_matmul_stacked(
-                    xf[:, c * kc : (c + 1) * kc],
+                    xf[:, c * kc_eff : (c + 1) * kc_eff],
                     qw.packed,
                     qw.scales,
                     layer_idx,
@@ -663,16 +714,18 @@ def q4_matmul(
         if qw.bias is not None
         else None
     )
-    if qw.layout == LAYOUT_ILV:
+    if i4:
+        xf = to_i4st(xf, k, chunks, g // chunks)
+    elif qw.layout == LAYOUT_ILV:
         xf = to_i4lv(xf, k, chunks) if unpack == "i4" else to_ilv(xf, k, chunks)
 
     # pad batch to a sublane multiple; pad N to a lane multiple
     bp = _round_up(max(b, 8), 8)
     bn = min(block_n, _round_up(n, 128))
     bb = min(block_b, bp)
-    while bb > 8 and bb * kc * 2 > 6 * 1024 * 1024:
+    while bb > 8 and bb * kc_eff * 2 > 6 * 1024 * 1024:
         bb //= 2  # keep the activation tile within VMEM for large K
-    bn = _fit_bn(bn, kc, g // chunks, bb)
+    bn = _fit_bn(bn, kc_eff, g // chunks, bb)
     # prefer a tile that divides N exactly: XLA otherwise pads the packed
     # weight + scales on every call (measured ~0.45 ms/token on the 32000-wide
     # logits matmul, which 512 does not divide)
@@ -691,11 +744,12 @@ def q4_matmul(
         scales = jnp.pad(scales, ((0, 0), (0, npad - n)))
 
     gc = g // chunks
+    prows = kc_eff if i4 else kc_eff // 2  # packed rows per chunk
     y = None
     for c in range(chunks):
         yc = _chunk_matmul(
-            xf[:, c * kc : (c + 1) * kc],
-            packed[c * kc // 2 : (c + 1) * kc // 2],
+            xf[:, c * kc_eff : (c + 1) * kc_eff],
+            packed[c * prows : (c + 1) * prows],
             scales[c * gc : (c + 1) * gc],
             bn,
             bb,

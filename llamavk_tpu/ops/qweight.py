@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.q4 import QK
-from ..formats.repack import LAYOUT_ILV, PackedQ4, ilv_perm
+from ..formats.repack import LAYOUT_I4, LAYOUT_ILV, PackedQ4, ilv_perm
 
 
 @jax.tree_util.register_dataclass
@@ -54,9 +54,68 @@ def qweight_from_packed(
     )
 
 
+def i4_group_pad(gc: int) -> int:
+    """Padded per-chunk group count of the int4 storage plane: Mosaic int4
+    sublane slices must be 128-row aligned (measured on v5e 2026-08-20 —
+    g=128/256/384 compile, 160/352 hit the create_mask int4 bug), so the
+    kernel's per-m-step G-row slices need G % 128 == 0. Zero rows pad the
+    difference (zero weights x zero scales contribute nothing)."""
+    return -(-gc // 128) * 128
+
+
+def qweight_to_i4(qw: QWeight) -> QWeight:
+    """Convert an ilv QWeight to int4-plane storage (LAYOUT_I4).
+
+    The int8 split-half byte plane [.., K/2, N] becomes a jnp.int4 plane
+    [.., K_stor, N]: within each chunk, storage row m*Gp + g holds the
+    signed nibble for original position g*QK + m (lo nibbles land at
+    m < QK/2, hi at m >= QK/2 — the same ilv row ordering the shift kernel
+    walks), with the per-chunk group count padded Gc -> Gp = i4_group_pad.
+    Scales pad to [.., chunks*Gp, N] with zero rows. Same HBM bytes per
+    real weight (int4 packs two per byte); the kernel replaces the
+    widen+shift+mask unpack with one native int4->f32 convert — measured
+    533 -> 854 GB/s on the B=1 wqkv matmul (tools/bench_i4_stacked.py).
+
+    Works on flat [K/2, N] and stacked [L, K/2, N] planes. Requires the
+    int4 dispatch shim (utils/int4_dispatch) under the axon plugin."""
+    from ..utils.int4_dispatch import ensure_int4_dispatch
+
+    assert qw.layout == LAYOUT_ILV, qw.layout
+    ensure_int4_dispatch()
+    chunks = qw.chunks
+    half_t = qw.packed.shape[-2]  # chunks * kc/2
+    n = qw.packed.shape[-1]
+    kc = 2 * half_t // chunks
+    gc = kc // QK
+    gp = i4_group_pad(gc)
+    lead = qw.packed.shape[:-2]
+
+    @jax.jit
+    def conv(packed, scales):
+        p = packed.reshape(*lead, chunks, QK // 2, gc, n).astype(jnp.int32)
+        lo = (p << 28) >> 28
+        hi = p >> 4
+        w = jnp.concatenate([lo, hi], axis=-3).astype(jnp.int8)
+        # [..., chunks, QK, gc, n] -> pad gc -> flatten to rows m*Gp + g
+        pad = [(0, 0)] * (w.ndim - 2) + [(0, gp - gc), (0, 0)]
+        w = jnp.pad(w, pad)
+        w4 = w.reshape(*lead, chunks * QK * gp, n).astype(jnp.int4)
+        s = scales.reshape(*lead, chunks, gc, n)
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, gp - gc), (0, 0)])
+        return w4, s.reshape(*lead, chunks * gp, n)
+
+    w4, s = conv(qw.packed, qw.scales)
+    return QWeight(packed=w4, scales=s, bias=qw.bias, layout=LAYOUT_I4,
+                   chunks=chunks)
+
+
 def dequantize_qweight(qw: QWeight, dtype=jnp.float32) -> jax.Array:
     """jnp dequantize to a dense [K, N] matrix in original k order (reference
     path for parity tests and the CPU fallback)."""
+    assert qw.layout != LAYOUT_I4, (
+        "dequantize_qweight: int4-plane storage is a device-only matmul "
+        "form; dequantize the source ilv QWeight instead"
+    )
     k, g = qw.k, qw.g
     kc = k // qw.chunks
     gc = g // qw.chunks

@@ -34,6 +34,12 @@ from ..utils.jitopts import decode_jit
 from .speculative import assemble_emitted, first_reject, lookup_draft_batched
 from .sampling import SamplerParams, probs_batched_dyn, sample_tokens_batched
 
+# shared-prefix pool [L, NP, H, Sp, D]: heads shard over tp (like the slot
+# cache's head axis); the pool-entry dim NP is replicated
+from jax.sharding import PartitionSpec as _PS
+
+_POOL_PSPEC = _PS(None, None, "tp", None, None)
+
 
 @dataclass
 class Request:
@@ -128,8 +134,10 @@ class BatchedEngine:
             assert int(mesh.shape.get("pp", 1)) == 1, (
                 "BatchedEngine mesh: tp x dp only (no pp stages, v1)"
             )
-            assert not bcfg.shared_prefix, (
-                "mesh serving: the shared-prefix pool is single-replica (v1)"
+            assert not (bcfg.shared_prefix and dp_size > 1), (
+                "mesh serving: the shared-prefix pool composes with tp "
+                "(pool heads shard), not dp (one pool, slot-sharded rows "
+                "would each need their own replica)"
             )
             assert not (bcfg.paged and dp_size > 1), (
                 "paged KV x mesh: tp only (the page pool is one shared "
@@ -149,6 +157,11 @@ class BatchedEngine:
         self._hpad_global = scale_lane_pad(cfg.n_head, tp_size)
         hpad_local = self._hpad_global // tp_size
         self.params = params
+        kv_step = 32 if jnp.dtype(bcfg.kv_dtype) == jnp.int8 else 8
+        assert bcfg.n_ctx % kv_step == 0, (
+            f"n_ctx must be a multiple of {kv_step} "
+            f"({bcfg.kv_dtype} KV tile constraint); got {bcfg.n_ctx}"
+        )
         b, w = bcfg.max_batch, bcfg.repeat_last_n
         if bcfg.paged:
             from .paged import PageAllocator, SlotPages
@@ -267,6 +280,7 @@ class BatchedEngine:
 
         if mesh is None:
             _prefill = decode_jit(_prefill_body)
+            _prefill_pool = _prefill
         else:
             # _prefill only runs on single-row prefix caches (replicated
             # batch under dp; every dp group computes the same prefill)
@@ -274,6 +288,14 @@ class BatchedEngine:
                 _prefill_body,
                 in_specs=(pspec_tree, R, cspec_pfx, R, R),
                 out_specs=(R, cspec_pfx),
+            ))
+            # pool registration prefills a bf16 single-row cache even when
+            # the slot cache is int8 (the shared-prefix pool stays bf16)
+            cspec_pool = cache_pspec(quantized=False, batch_axis=None)
+            _prefill_pool = decode_jit(_shmap(
+                _prefill_body,
+                in_specs=(pspec_tree, R, cspec_pool, R, R),
+                out_specs=(R, cspec_pool),
             ))
 
         def slice_cache(c, s_len):
@@ -476,10 +498,12 @@ class BatchedEngine:
             if mesh is None:
                 return body_all(*args)
             tspec = None if table is None else R
+            pfspec = None if pk is None else _POOL_PSPEC
+            pidspec = None if pk is None else R
             return _shmap(
                 body_all,
                 in_specs=(pspec_tree, cspec_tree, D1, D2, D1, tspec,
-                          None, None, None, None),
+                          pfspec, pfspec, pidspec, pidspec),
                 out_specs=(P(None, "dp", None), P(None, "dp"), D1,
                            cspec_tree, D2, D1),
             )(*args)
@@ -590,10 +614,13 @@ class BatchedEngine:
                 out = body_all(*args)
             else:
                 tspec = None if table is None else R
+                pfspec = None if pk is None else _POOL_PSPEC
+                pidspec = None if pk is None else R
                 out = _shmap(
                     body_all,
                     in_specs=(pspec_tree, cspec_tree, D1, D2, D2, D2, D1, D1,
-                              D1, D1, tspec, None, None, None, None),
+                              D1, D1, tspec, pfspec, pfspec, pidspec,
+                              pidspec),
                     out_specs=(P(None, "dp", None), P(None, "dp"), D1,
                                cspec_tree, D2, D2, D2, D1),
                 )(*args)
@@ -622,9 +649,10 @@ class BatchedEngine:
             self.ctx_dev = jnp.zeros((b, self._ctx_len), jnp.int32)
 
         if bcfg.shared_prefix:
-            assert jnp.dtype(bcfg.kv_dtype) == jnp.bfloat16, (
-                "shared_prefix requires bf16 KV (v1)"
-            )
+            # the POOL is always bf16 — one pool copy serves every batch
+            # row, so full precision costs O(pool) not O(batch); the SLOT
+            # cache may be bf16 or int8 (the kernels' pre-pass streams the
+            # pool through its own bf16 buffers — ops/flash_attn.py)
             assert bcfg.prefix_ctx % 256 == 0
             pool_shape = (
                 cfg.n_layer, bcfg.prefix_pool, cfg.n_head, bcfg.prefix_ctx,
@@ -632,6 +660,13 @@ class BatchedEngine:
             )
             self.pfx_k = jnp.zeros(pool_shape, jnp.bfloat16)
             self.pfx_v = jnp.zeros(pool_shape, jnp.bfloat16)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+
+                # pool heads shard over tp like the slot cache's head axis
+                pool_sh = NamedSharding(mesh, _POOL_PSPEC)
+                self.pfx_k = jax.device_put(self.pfx_k, pool_sh)
+                self.pfx_v = jax.device_put(self.pfx_v, pool_sh)
             self.pfx_len = np.zeros(b, np.int32)
             self.pfx_id = np.zeros(b, np.int32)
 
@@ -643,27 +678,47 @@ class BatchedEngine:
                            temp, penalty, pk, pv, pid, plen, n_steps, top_k):
             # plain decode block over [shared prefix | slot suffix] attention;
             # n_past is LOGICAL (llama_forward uses n_past - plen for the
-            # slot rows and full positions for RoPE)
-            def body(state, _):
-                toks, cache, last, keys, n_past = state
-                logits, cache, _ = llama_forward(
-                    params, toks[:, None], cache, n_past, cfg_,
-                    kv_block=kvb,
-                    prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen,
-                )
-                keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
-                subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
-                nxt = sample_tokens_batched(
-                    logits[:, -1, :], last, subs, top_k, top_p, temp, penalty
-                )
-                last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
-                return (nxt, cache, last, keys2, n_past + 1), nxt
+            # slot rows and full positions for RoPE). Under a tp mesh the
+            # body runs per-shard: pool heads sharded, everything else
+            # replicated (dp is excluded with shared_prefix).
+            def body_all(params, cache, toks0, last, kd, n_past, top_p, temp,
+                         penalty, pk, pv, pid, plen):
+                keys = jax.random.wrap_key_data(kd)
 
-            state = (toks0, cache, last, keys, n_past)
-            (toks, cache, last, keys, n_past), out = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
-            return out.T, cache, last, keys
+                def body(state, _):
+                    toks, cache, last, keys, n_past = state
+                    logits, cache, _ = _fwd(
+                        params, toks[:, None], cache, n_past,
+                        prefix_kv=(pk, pv), prefix_id=pid, prefix_len=plen,
+                    )
+                    keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                    subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+                    nxt = sample_tokens_batched(
+                        logits[:, -1, :], last, subs, top_k, top_p, temp,
+                        penalty,
+                    )
+                    last = jnp.roll(last, -1, axis=1).at[:, -1].set(nxt)
+                    return (nxt, cache, last, keys2, n_past + 1), nxt
+
+                state = (toks0, cache, last, keys, n_past)
+                (toks, cache, last, keys, n_past), out = jax.lax.scan(
+                    body, state, None, length=n_steps
+                )
+                return out.T, cache, last, jax.random.key_data(keys)
+
+            kd = jax.random.key_data(keys)
+            args = (params, cache, toks0, last, kd, n_past, top_p, temp,
+                    penalty, pk, pv, pid, plen)
+            if mesh is None:
+                out, cache, last, kd = body_all(*args)
+            else:
+                out, cache, last, kd = _shmap(
+                    body_all,
+                    in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R,
+                              _POOL_PSPEC, _POOL_PSPEC, R, R),
+                    out_specs=(R, cspec_tree, R, R),
+                )(*args)
+            return out, cache, last, jax.random.wrap_key_data(kd)
 
         @partial(
             decode_jit, static_argnames=("n", "top_k", "scratch_len"),
@@ -675,31 +730,53 @@ class BatchedEngine:
             # suffix-only admission: the scratch cache covers JUST the suffix
             # bucket; the prefix is attended straight from the shared pool —
             # admission does no prefix copying at all
-            cacheN = init_kv_cache(cfg_, n, scratch_len)
-            npv = jnp.full((n,), pfx_len_s, jnp.int32)
-            logits, cacheN, _ = llama_forward(
-                params, toks, cacheN, npv, cfg_, kv_block=kvb, last_idx=last_idx,
-                prefix_kv=(pk, pv),
-                prefix_id=jnp.full((n,), pid_s, jnp.int32), prefix_len=npv,
-            )
-            logits = logits[:, 0, :]
-
-            def ins(c, cN, row, slot):
-                r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
-                return jax.lax.dynamic_update_slice(
-                    c, r, (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2)
+            def body_all(params, cache, toks, pfx_len_s, last_idx, slots,
+                         seeds, last_windows, top_p, temp, penalty, pk, pv,
+                         pid_s):
+                # the scratch cache matches the SLOT cache's dtype/lane pads
+                # (bf16 or int8; under a mesh the body sees the local head
+                # shard); the pool stays bf16 either way
+                cacheN = init_kv_cache(
+                    cfg_, n, scratch_len, dtype=jnp.dtype(bcfg.kv_dtype),
+                    n_head_local=h_local, h_pad=hpad_local,
                 )
-
-            for j in range(n):
-                cache = jax.tree.map(
-                    lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
-                    cache, cacheN,
+                npv = jnp.full((n,), pfx_len_s, jnp.int32)
+                logits, cacheN, _ = _fwd(
+                    params, toks, cacheN, npv, last_idx=last_idx,
+                    prefix_kv=(pk, pv),
+                    prefix_id=jnp.full((n,), pid_s, jnp.int32),
+                    prefix_len=npv,
                 )
-            subs = jax.vmap(jax.random.key)(seeds + 1)
-            ids = sample_tokens_batched(
-                logits, last_windows, subs, top_k, top_p, temp, penalty
-            )
-            return cache, ids
+                logits = logits[:, 0, :]
+
+                def ins(c, cN, row, slot):
+                    r = jax.lax.dynamic_slice_in_dim(cN, row, 1, axis=1)
+                    return jax.lax.dynamic_update_slice(
+                        c, r,
+                        (jnp.int32(0), slot) + (jnp.int32(0),) * (c.ndim - 2),
+                    )
+
+                for j in range(n):
+                    cache = jax.tree.map(
+                        lambda c, cN: ins(c, cN, jnp.int32(j), slots[j]),
+                        cache, cacheN,
+                    )
+                subs = jax.vmap(jax.random.key)(seeds + 1)
+                ids = sample_tokens_batched(
+                    logits, last_windows, subs, top_k, top_p, temp, penalty
+                )
+                return cache, ids
+
+            args = (params, cache, toks, pfx_len_s, last_idx, slots, seeds,
+                    last_windows, top_p, temp, penalty, pk, pv, pid_s)
+            if mesh is None:
+                return body_all(*args)
+            return _shmap(
+                body_all,
+                in_specs=(pspec_tree, cspec_tree, R, R, R, R, R, R, R, R, R,
+                          _POOL_PSPEC, _POOL_PSPEC, R),
+                out_specs=(cspec_tree, R),
+            )(*args)
 
         @decode_jit
         def _pool_write(pk, pv, ck, cv, pid):
@@ -818,6 +895,7 @@ class BatchedEngine:
 
         self._prefill_paged = _prefill_paged
         self._prefill = _prefill
+        self._prefill_pool = _prefill_pool
         self._admit_chunk = _admit_chunk
         self._decode = _decode
 
@@ -874,7 +952,11 @@ class BatchedEngine:
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :plen] = tokens
             cache1 = init_kv_cache(self.cfg, 1, self.bcfg.prefix_ctx)
-            _, cache1 = self._prefill(
+            if self.mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                cache1 = shard_cache(cache1, self.mesh, batch_axis=None)
+            _, cache1 = self._prefill_pool(
                 self.params, jnp.asarray(padded), cache1, jnp.int32(0),
                 jnp.asarray([plen - 1], np.int32),
             )

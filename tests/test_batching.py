@@ -302,3 +302,100 @@ def test_shared_prefix_lookup_slot_reuse(model):
         be.run()
         want = _single_stream(cfg, params, prefix + sfx, 5, n_ctx=128)
         assert r.generated == want, (sfx, r.generated, want)
+
+
+def _prefix_pool_single_stream(cfg, params, prefix, suffix, n, n_ctx=64,
+                               prefix_ctx=256, kv_dtype="int8", kv_block=32):
+    """Oracle for shared-prefix engines: straightforward per-request
+    execution through llama_forward with the prefix pool — bf16 pool
+    prefilled once, suffix + decode against an int8 (or bf16) slot cache
+    holding ONLY suffix rows. Validates the engine's admission/slot/decode
+    machinery against the composition it implements."""
+    import jax.numpy as jnp
+    from llamavk_tpu.models import init_kv_cache, llama_forward
+
+    plen = len(prefix)
+    bucket = 8
+    while bucket < plen:
+        bucket *= 2
+    cacheP = init_kv_cache(cfg, 1, prefix_ctx)  # pool is ALWAYS bf16
+    toksP = np.zeros((1, bucket), np.int32)
+    toksP[0, :plen] = prefix
+    _, cacheP, _ = llama_forward(
+        params, jnp.asarray(toksP), cacheP, jnp.int32(0), cfg,
+        last_idx=jnp.int32(plen - 1), kv_block=kv_block,
+    )
+    pk, pv = cacheP.k, cacheP.v  # [L, NP=1, H, Sp, D]
+    pid = jnp.zeros((1,), jnp.int32)
+    pvec = jnp.full((1,), plen, jnp.int32)
+
+    slot = init_kv_cache(cfg, 1, n_ctx, dtype=jnp.dtype(kv_dtype))
+    sbucket = 8
+    while sbucket < len(suffix):
+        sbucket *= 2
+    toksS = np.zeros((1, sbucket), np.int32)
+    toksS[0, : len(suffix)] = suffix
+    logits, slot, _ = llama_forward(
+        params, jnp.asarray(toksS), slot, pvec, cfg,
+        last_idx=jnp.asarray([len(suffix) - 1], np.int32),
+        prefix_kv=(pk, pv), prefix_id=pid, prefix_len=pvec,
+        kv_block=kv_block,
+    )
+    tok = int(np.argmax(np.asarray(logits)[0, -1]))
+    out, npos = [tok], plen + len(suffix)
+    for _ in range(n - 1):
+        logits, slot, _ = llama_forward(
+            params, jnp.asarray([[tok]], jnp.int32), slot,
+            jnp.asarray([npos], np.int32), cfg,
+            prefix_kv=(pk, pv), prefix_id=pid, prefix_len=pvec,
+            kv_block=kv_block,
+        )
+        tok = int(np.argmax(np.asarray(logits)[0, -1]))
+        out.append(tok)
+        npos += 1
+    return out
+
+
+def test_shared_prefix_int8_matches_oracle(model):
+    """shared_prefix x int8 KV (VERDICT r3 #3): bf16 pool + int8 slot rows.
+    Engine streams must exactly equal per-request llama_forward execution
+    of the same composition (same kv_block pins the softmax order)."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30, 7, 11, 4]
+    suffixes = [[3, 1], [4, 4, 4], [8]]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=3, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256, kv_dtype="int8", kv_block=32),
+    )
+    pid = be.register_prefix(prefix)
+    reqs = [
+        be.submit(s, 6, GREEDY, ignore_eos=True, prefix=pid) for s in suffixes
+    ]
+    be.run()
+    assert be.stats["prefills"] == len(suffixes)
+    for r, s in zip(reqs, suffixes):
+        want = _prefix_pool_single_stream(cfg, params, prefix, s, 6)
+        assert r.generated == want, (s, r.generated, want)
+
+
+def test_shared_prefix_int8_lookup(model):
+    """shared_prefix x int8 x prompt-lookup speculation: greedy streams equal
+    the plain (non-speculative) shared-prefix int8 oracle exactly."""
+    cfg, params, _ = model
+    prefix = [5, 9, 2, 30, 7, 11, 4, 5, 9, 2]
+    suffixes = [[5, 9], [30, 7]]
+    be = BatchedEngine(
+        cfg, params,
+        BatchConfig(max_batch=2, n_ctx=64, block=4, shared_prefix=True,
+                    prefix_ctx=256, kv_dtype="int8", kv_block=32,
+                    lookup_gamma=3),
+    )
+    pid = be.register_prefix(prefix)
+    reqs = [
+        be.submit(s, 6, GREEDY, ignore_eos=True, prefix=pid) for s in suffixes
+    ]
+    be.run()
+    for r, s in zip(reqs, suffixes):
+        want = _prefix_pool_single_stream(cfg, params, prefix, s, 6)
+        assert r.generated == want, (s, r.generated, want)

@@ -181,8 +181,7 @@ def test_generate_cli_sigint_interject(f32_model):
     (["--dp", "2", "--max-batch", "9"], "divisible"),
     (["--dp", "2", "--paged"], "tp-only"),
     (["--shared-prefix", "--paged"], "exclusive"),
-    (["--shared-prefix", "--tp", "2"], "single-replica"),
-    (["--shared-prefix", "--kv-dtype", "int8"], "bfloat16"),
+    (["--shared-prefix", "--dp", "2"], "not --dp"),
 ])
 def test_serve_flag_validation(argv, msg, capsys):
     """Invalid serving flag combinations exit as argparse errors naming the

@@ -199,3 +199,114 @@ def test_batched_engine_int8():
     done = eng.run()
     assert {id(r) for r in done} == {id(r1), id(r2)}
     assert len(r1.output) == 5 and len(r2.output) == 6
+
+
+# --- shared-prefix pool x int8 slot cache (VERDICT r3 #3) -------------------
+
+
+def _prefix_int8_ref(q, kq, ks, vq, vs, n_past_vec, pk, pv, pid, plen):
+    """Dense oracle: per row, attention over [bf16 prefix | dequantized int8
+    slot rows] — the exact math the composed kernel must reproduce."""
+    b = q.shape[0]
+    kf = dequantize_rows(kq, ks)
+    vf = dequantize_rows(vq, vs)
+    outs = []
+    for bi in range(b):
+        pl_ = int(plen[bi])
+        kcat = jnp.concatenate(
+            [pk[pid[bi], :, :pl_, :].astype(jnp.float32), kf[bi]], axis=1
+        )[None]
+        vcat = jnp.concatenate(
+            [pv[pid[bi], :, :pl_, :].astype(jnp.float32), vf[bi]], axis=1
+        )[None]
+        outs.append(
+            attention_ref(
+                q[bi : bi + 1], kcat, vcat,
+                jnp.int32(pl_ + int(n_past_vec[bi])),
+            )[0]
+        )
+    return jnp.stack(outs)
+
+
+@pytest.mark.parametrize("b,t,h,sp,s,d", [(2, 1, 2, 64, 64, 32),
+                                          (3, 4, 2, 128, 64, 32)])
+def test_flash_prefix_pool_int8_read(b, t, h, sp, s, d):
+    """Prefix pre-pass (bf16 pool, own scratch buffers) feeding the int8
+    main loop's online-softmax carry must equal the dense oracle."""
+    rng = np.random.default_rng(11)
+    npast = np.array([3, 9, 5][:b], np.int32)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    np_pool = 3
+    pk = jnp.asarray(rng.standard_normal((np_pool, h, sp, d)), jnp.bfloat16)
+    pv = jnp.asarray(rng.standard_normal((np_pool, h, sp, d)), jnp.bfloat16)
+    pid = np.array([2, 0, 1][:b], np.int32)
+    plen = np.array([33, 0, 64][:b], np.int32)  # ragged, incl. none
+
+    got = flash_attention(
+        q, kq, vq, jnp.asarray(npast), block_t=32, block_k=32,
+        k_scale=ks.transpose(0, 2, 1), v_scale=vs.transpose(0, 2, 1),
+        prefix_k=pk, prefix_v=pv,
+        prefix_id=jnp.asarray(pid), prefix_len=jnp.asarray(plen),
+    )
+    ref = _prefix_int8_ref(q, kq, ks, vq, vs, npast, pk, pv, pid, plen)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_flash_prefix_pool_int8_update():
+    """Fused quantize+write+attend over an int8 slot cache WITH the bf16
+    prefix pre-pass: output matches the dense oracle and the written cache
+    bytes equal the manual insert."""
+    from llamavk_tpu.ops.flash_attn import flash_attention_update
+
+    rng = np.random.default_rng(13)
+    L, b, t, h, sp, s, d = 2, 2, 4, 2, 64, 64, 32
+    n_past = jnp.asarray([8, 2], jnp.int32)  # slot-LOCAL rows
+    layer = jnp.int32(1)
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.bfloat16)
+    kc = jnp.asarray(rng.integers(-127, 128, (L, b, h, s, d)), jnp.int8)
+    vc = jnp.asarray(rng.integers(-127, 128, (L, b, h, s, d)), jnp.int8)
+    kcs = jnp.asarray(rng.uniform(0.001, 0.1, (L, b, s, h)), jnp.float32)
+    vcs = jnp.asarray(rng.uniform(0.001, 0.1, (L, b, s, h)), jnp.float32)
+    pk = jnp.asarray(rng.standard_normal((L, 3, h, sp, d)), jnp.bfloat16)
+    pv = jnp.asarray(rng.standard_normal((L, 3, h, sp, d)), jnp.bfloat16)
+    pid = np.array([1, 2], np.int32)
+    plen = np.array([40, 16], np.int32)
+
+    # manual: quantize+insert, then the dense prefix|slot oracle on layer 1
+    knq, kns = quantize_rows(k_new)
+    vnq, vns = quantize_rows(v_new)
+    kc_ref, vc_ref = np.asarray(kc).copy(), np.asarray(vc).copy()
+    kcs_ref, vcs_ref = np.asarray(kcs).copy(), np.asarray(vcs).copy()
+    for bi in range(b):
+        p = int(n_past[bi])
+        kc_ref[1, bi, :, p : p + t] = np.asarray(knq)[bi].transpose(1, 0, 2)
+        vc_ref[1, bi, :, p : p + t] = np.asarray(vnq)[bi].transpose(1, 0, 2)
+        kcs_ref[1, bi, p : p + t] = np.asarray(kns)[bi]
+        vcs_ref[1, bi, p : p + t] = np.asarray(vns)[bi]
+    want = _prefix_int8_ref(
+        q, jnp.asarray(kc_ref[1]), jnp.asarray(kcs_ref[1]).transpose(0, 2, 1),
+        jnp.asarray(vc_ref[1]), jnp.asarray(vcs_ref[1]).transpose(0, 2, 1),
+        np.asarray(n_past), pk[1], pv[1], pid, plen,
+    )
+
+    out, kc2, vc2, kcs2, vcs2 = flash_attention_update(
+        q, k_new, v_new, kc, vc, n_past, layer, block_t=4, block_k=32,
+        k_scale=kcs, v_scale=vcs,
+        prefix_k=pk, prefix_v=pv,
+        prefix_id=jnp.asarray(pid), prefix_len=jnp.asarray(plen),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=3e-2, atol=3e-2
+    )
+    np.testing.assert_array_equal(np.asarray(kc2), kc_ref)
+    np.testing.assert_array_equal(np.asarray(vc2), vc_ref)
+    np.testing.assert_allclose(np.asarray(kcs2), kcs_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vcs2), vcs_ref, rtol=1e-6)

@@ -252,3 +252,97 @@ def test_q4_matmul_i8_rejected_on_tpu(monkeypatch):
     x = jnp.zeros((1, 128), jnp.bfloat16)
     with pytest.raises(NotImplementedError, match="bench_int8_mxu"):
         q4_matmul(x, qw, dot_mode="i8")
+
+
+# --- int4-plane storage (LAYOUT_I4, qweight_to_i4) -------------------------
+
+
+def _i4_of(qw):
+    from llamavk_tpu.ops.qweight import qweight_to_i4
+
+    return qweight_to_i4(qw)
+
+
+@pytest.mark.parametrize("b,k,n", [(1, 256, 256), (5, 512, 128), (2, 4096, 256)])
+def test_q4_matmul_i4st_matches_dense(b, k, n):
+    """int4-plane storage computes the same matmul as the dense reference
+    (f32 scale mul; int4 -> f32 convert is exact, so only dot-order noise)."""
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    qw4 = _i4_of(qw)
+    assert qw4.packed.dtype == jnp.int4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, k)), jnp.bfloat16)
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    y_np = np.asarray(x, np.float32) @ wd
+    # bf16 MXU dot noise accumulates with K (same scaling as the shift path)
+    np.testing.assert_allclose(y, y_np, rtol=3e-2, atol=2e-2 * (k / 256) ** 0.5)
+
+
+def test_q4_matmul_i4st_group_padding():
+    """A K whose group count is NOT a multiple of 128 pads zero groups
+    (e.g. the 7B w2's K=11008 -> G 344 -> 384); results must be unchanged."""
+    k, n = 9 * 32 * 2, 128  # G=18 per chunk-less weight -> pads to 128
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    qw4 = _i4_of(qw)
+    from llamavk_tpu.ops.qweight import i4_group_pad
+
+    assert qw4.scales.shape[0] == i4_group_pad(k // 32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.bfloat16)
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_q4_matmul_i4st_stacked_layer_select():
+    L, k, n = 3, 256, 256
+    qws, wds = [], []
+    for l in range(L):
+        qw, wd = _make_qw(k, n, LAYOUT_ILV, seed=l)
+        qws.append(qw)
+        wds.append(wd)
+    import jax as _jax
+    stacked = _jax.tree.map(lambda *a: jnp.stack(a), *qws)
+    st4 = _i4_of(stacked)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, k)), jnp.bfloat16)
+    for l in range(L):
+        y = np.asarray(
+            q4_matmul(x, st4, out_dtype=jnp.float32, layer_idx=jnp.int32(l))
+        )
+        np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wds[l],
+                                   rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("chunks", [2])
+def test_q4_matmul_i4st_chunked(chunks):
+    k, n = 512, 128
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    d, q = quantize_q4_0(w)
+    qw = qweight_from_packed(repack_q4_0(d, q, chunks=chunks),
+                             scale_dtype=jnp.float32)
+    qw4 = _i4_of(qw)
+    assert qw4.chunks == chunks
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    wd = ((q.astype(np.float32) - 8) * d[..., None]).reshape(n, k).T
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_q4_matmul_i4st_q4_1_bias():
+    """Q4_1 affine weights: the bias plane rides outside the kernel, so the
+    int4-plane path must reproduce the same affine matmul."""
+    k, n = 256, 128
+    rng = np.random.default_rng(4)
+    w = (rng.standard_normal((n, k)) * 0.1 + 0.05).astype(np.float32)
+    d, m, q = quantize_q4_1(w)
+    qw = qweight_from_packed(repack_q4_1(d, m, q), scale_dtype=jnp.float32)
+    qw4 = _i4_of(qw)
+    assert qw4.bias is not None
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.bfloat16)
+    wd = (q.astype(np.float32) * d[..., None] + m[..., None]).reshape(n, k).T
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)

@@ -122,10 +122,14 @@ def make_prod(L, k, n, b, bn):
 def make_i4st(L, k, n, b, bn, mul_dtype):
     g = k // QK
     x = jnp.ones((b, k), jnp.bfloat16)
-    # jnp.ones(int4) recurses under the axon plugin; build via astype
-    w4 = jnp.ones((L, k, n), jnp.int8).astype(jnp.int4)
+    # KNOWN PLUGIN BUG (jax 0.9.0 + axon, measured 2026-08-20): an int4
+    # jax.Array cannot be PASSED into a jit — _array_shard_arg recurses
+    # infinitely at dispatch. Workaround: ship nibble VALUES as int8 and
+    # convert to int4 inside the jit (loop-invariant, hoisted out of the
+    # timing scan; differential timing cancels the one-time conversion).
+    w8 = jnp.ones((L, k, n), jnp.int8)
     scales = jnp.full((L, g, n), 0.01, jnp.float32)
-    call = pl.pallas_call(
+    inner = pl.pallas_call(
         partial(kernel_i4st, mul_dtype=mul_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -143,7 +147,11 @@ def make_i4st(L, k, n, b, bn, mul_dtype):
         ),
         out_shape=jax.ShapeDtypeStruct((1, b, n), jnp.float32),
     )
-    return call, (x, w4, scales), k * n // 2 + 4 * g * n
+
+    def call(idx, x, w8, scales):
+        return inner(idx, x, w8.astype(jnp.int4), scales)
+
+    return call, (x, w8, scales), k * n // 2 + 4 * g * n
 
 
 def check_numerics(mul_dtype, L=2, k=256, n=256, b=1):
@@ -160,13 +168,13 @@ def check_numerics(mul_dtype, L=2, k=256, n=256, b=1):
     w4_np = np.concatenate([lo, hi], axis=1)  # [L, K, N]
     prod_call, _, _ = make_prod(L, k, n, b, bn)
     i4_call, _, _ = make_i4st(L, k, n, b, bn, mul_dtype)
+    i4_jit = jax.jit(i4_call)
     ok = True
     for l in range(L):
         idx = jnp.asarray([l], jnp.int32)
         ref = np.asarray(prod_call(idx, x, jnp.asarray(pk), jnp.asarray(sc)))
         got = np.asarray(
-            i4_call(idx, x, jnp.asarray(w4_np).astype(jnp.int4),
-                    jnp.asarray(sc))
+            i4_jit(idx, x, jnp.asarray(w4_np), jnp.asarray(sc))
         )
         err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
         ok = ok and err < 2e-2
