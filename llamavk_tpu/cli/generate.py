@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="KV cache storage (int8: half the memory/bandwidth, 2x context)",
     )
     ap.add_argument(
+        "--no-int4-weights", action="store_true",
+        help="keep int8 byte-packed weight planes; by default TPU runs "
+        "convert packed weights to int4-plane storage at load "
+        "(~10%% faster decode, identical quantized values)",
+    )
+    ap.add_argument(
         "--draft-model", default=None,
         help="speculative decoding: a smaller checkpoint that drafts tokens "
         "the main model verifies (greedy only; output is identical to plain "
@@ -130,7 +136,10 @@ class ContextManager:
 
 def run(args, stdin=sys.stdin, stdout=sys.stdout) -> int:
     t_load0 = time.perf_counter()
-    cfg, params, tok = load_model(args.model)
+    import jax as _jax
+
+    use_i4 = not args.no_int4_weights and _jax.default_backend() == "tpu"
+    cfg, params, tok = load_model(args.model, int4_planes=use_i4)
 
     prompt = args.prompt
     if args.file:

@@ -54,6 +54,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     "dp groups of tp devices each (one lockstep decode "
                     "program serves every group — replica scaling without "
                     "per-replica dispatch overhead); max_batch %% dp == 0")
+    ap.add_argument("--no-int4-weights", action="store_true",
+                    help="keep int8 byte-packed weight planes (TPU default "
+                    "converts to int4-plane storage at load)")
     ap.add_argument("--model-name", default=None)
     return ap
 
@@ -76,7 +79,12 @@ def main(argv=None):
     if args.shared_prefix and args.dp > 1:
         ap.error("--shared-prefix composes with --tp, not --dp "
                  "(one pool; dp shards the request slots)")
-    cfg, params, tok = load_model(args.model, tp=args.tp)
+    import jax as _jax_backend
+
+    use_i4 = (not args.no_int4_weights
+              and _jax_backend.default_backend() == "tpu")
+    cfg, params, tok = load_model(args.model, tp=args.tp,
+                                  int4_planes=use_i4)
     mesh = None
     if args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh

@@ -399,3 +399,22 @@ def test_shared_prefix_int8_lookup(model):
     for r, s in zip(reqs, suffixes):
         want = _prefix_pool_single_stream(cfg, params, prefix, s, 6)
         assert r.generated == want, (s, r.generated, want)
+
+
+def test_batched_engine_int4_planes(model):
+    """BatchedEngine over int4-plane weights (params_to_i4): streams equal
+    the single-stream engine's over the SAME converted params (both run the
+    LAYOUT_I4 kernel — same dot partition, exact agreement)."""
+    from llamavk_tpu.models import params_to_i4
+    from llamavk_tpu.runtime import Engine, EngineConfig
+
+    cfg, params, _ = model
+    p4 = params_to_i4(params)
+    be = BatchedEngine(cfg, p4, BatchConfig(max_batch=2, n_ctx=64, block=4))
+    prompts = [[5, 9, 2, 30], [7, 3, 11]]
+    reqs = [be.submit(p, 5, GREEDY, ignore_eos=True) for p in prompts]
+    be.run()
+    for p, r in zip(prompts, reqs):
+        e = Engine(cfg, p4, EngineConfig(n_ctx=64))
+        want = e.generate(p, 5, GREEDY, ignore_eos=True)
+        assert r.generated == want, (p, r.generated, want)

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--paged", action="store_true",
                     help="block-table paged KV pool (runtime/paged.py)")
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--no-int4", action="store_true",
+                    help="int8 byte-packed weight planes (pre-r4 path) "
+                    "instead of int4-plane storage")
     ap.add_argument("--n-pages", type=int, default=0,
                     help="pool pages (0 = flat footprint; smaller "
                     "oversubscribes slots and may preempt)")
@@ -55,6 +58,10 @@ def main():
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
     log(f"building synthetic {args.model} params ...")
     params = synthetic_params(cfg, seed=0)
+    if not args.no_int4:
+        from llamavk_tpu.models import params_to_i4
+
+        params = params_to_i4(params)
     eng = BatchedEngine(
         cfg,
         params,
