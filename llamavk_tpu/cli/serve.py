@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     "dp groups of tp devices each (one lockstep decode "
                     "program serves every group — replica scaling without "
                     "per-replica dispatch overhead); max_batch %% dp == 0")
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="independent model replicas: partitions the devices "
+                    "into this many groups of --tp devices each, one engine "
+                    "thread per group behind the same HTTP door "
+                    "(least-loaded admission; prefixes register everywhere)")
     ap.add_argument("--no-int4-weights", action="store_true",
                     help="keep int8 byte-packed weight planes (TPU default "
                     "converts to int4-plane storage at load)")
@@ -79,6 +84,9 @@ def main(argv=None):
     if args.shared_prefix and args.dp > 1:
         ap.error("--shared-prefix composes with --tp, not --dp "
                  "(one pool; dp shards the request slots)")
+    if args.replicas > 1 and args.dp > 1:
+        ap.error("--replicas already IS replica scaling; combine it with "
+                 "--tp (per-replica sharding), not --dp")
     import jax as _jax_backend
 
     use_i4 = (not args.no_int4_weights
@@ -86,7 +94,17 @@ def main(argv=None):
     cfg, params, tok = load_model(args.model, tp=args.tp,
                                   int4_planes=use_i4)
     mesh = None
-    if args.tp > 1 or args.dp > 1:
+    replicas = max(1, args.replicas)
+    devices = None
+    if replicas > 1:
+        import jax
+
+        need = replicas * args.tp
+        devices = jax.devices()[:need]
+        if len(devices) < need:
+            ap.error(f"--replicas {replicas} x --tp {args.tp} needs {need} "
+                     f"devices, have {len(jax.devices())}")
+    elif args.tp > 1 or args.dp > 1:
         from ..parallel import make_mesh
         import jax
 
@@ -107,7 +125,7 @@ def main(argv=None):
         lookup_gamma=args.lookup_gamma,
     )
     server = LlamaServer(cfg, params, tok, bcfg, model_name=args.model_name,
-                         mesh=mesh)
+                         mesh=mesh, replicas=replicas, devices=devices)
     server.serve_forever(args.host, args.port)
 
 

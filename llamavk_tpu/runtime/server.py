@@ -97,42 +97,45 @@ class _Stream:
             self.req.done = True
 
 
-class LlamaServer:
-    """Serving runtime: one engine thread + an HTTP front door."""
+class _Replica:
+    """One model replica: a BatchedEngine owned by one engine thread, fed
+    through a thread-safe pending list. N of these behind one HTTP front
+    door = multi-replica serving (each replica owns its own device group —
+    its own weight copy, KV, and dispatch stream)."""
 
-    def __init__(self, cfg: ModelConfig, params, tokenizer,
-                 bcfg: BatchConfig = BatchConfig(),
-                 model_name: str | None = None, mesh=None):
-        self.cfg = cfg
-        self.tokenizer = tokenizer
-        self.model_name = model_name or f"llama-{cfg.type_name}"
+    def __init__(self, idx: int, cfg, params, bcfg, mesh=None, device=None):
+        import jax
+
+        if device is not None and mesh is None:
+            # single-device replica: commit this replica's weight copy to
+            # its device; the engine's uncommitted buffers follow it
+            params = jax.device_put(params, device)
+        self.idx = idx
         self.engine = BatchedEngine(cfg, params, bcfg, mesh=mesh)
-        self.bcfg = bcfg
-        self._pending: list[tuple] = []  # (kind, payload, reply queue)
-        self._cv = threading.Condition()
-        self._running = False
-        self._thread: threading.Thread | None = None
-        self._httpd: ThreadingHTTPServer | None = None
-        self.t_start = time.time()
-        self.n_requests = 0
-        self.n_stream = 0
+        self.pending: list[tuple] = []  # (kind, payload, reply queue)
+        self.cv = threading.Condition()
+        self.running = False
+        self.thread: threading.Thread | None = None
 
-    # --- engine thread ------------------------------------------------------
+    @property
+    def load(self) -> int:
+        eng = self.engine
+        return len(eng.queue) + sum(r is not None for r in eng.slots)
 
-    def _engine_loop(self):
+    def loop(self):
         eng = self.engine
         while True:
-            with self._cv:
+            with self.cv:
                 while (
-                    self._running
-                    and not self._pending
+                    self.running
+                    and not self.pending
                     and not eng.queue
                     and not any(eng.slots)
                 ):
-                    self._cv.wait(timeout=0.5)
-                if not self._running:
+                    self.cv.wait(timeout=0.5)
+                if not self.running:
                     return
-                pending, self._pending = self._pending, []
+                pending, self.pending = self.pending, []
             for kind, payload, reply in pending:
                 try:
                     if kind == "submit":
@@ -154,37 +157,116 @@ class LlamaServer:
                     if stream is not None:
                         stream.q.put(None)  # end-of-stream sentinel
 
+    def post(self, kind: str, payload) -> queue.Queue:
+        reply: queue.Queue = queue.Queue()
+        with self.cv:
+            self.pending.append((kind, payload, reply))
+            self.cv.notify()
+        return reply
+
+    def start(self):
+        self.running = True
+        self.thread = threading.Thread(target=self.loop, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        with self.cv:
+            self.running = False
+            self.cv.notify()
+        if self.thread is not None:
+            self.thread.join(timeout=30)
+
+
+class LlamaServer:
+    """Serving runtime: N replica engine threads + an HTTP front door.
+
+    replicas > 1 partitions the devices into `replicas` groups of
+    tp x dp devices each (ROADMAP #6 / VERDICT r3 #4): every replica holds
+    its own weight copy and KV and decodes independently; admission is
+    least-loaded (per-replica queued + active slots). A registered prefix
+    registers on EVERY replica so `prefix_id` is valid wherever a request
+    lands."""
+
+    def __init__(self, cfg: ModelConfig, params, tokenizer,
+                 bcfg: BatchConfig = BatchConfig(),
+                 model_name: str | None = None, mesh=None,
+                 replicas: int = 1, devices=None):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.model_name = model_name or f"llama-{cfg.type_name}"
+        self.bcfg = bcfg
+        if replicas <= 1:
+            self.replicas = [_Replica(0, cfg, params, bcfg, mesh=mesh)]
+        else:
+            import jax
+
+            assert mesh is None, (
+                "pass replicas= with per-replica group sizes via tp/dp in "
+                "make_replica_meshes, not a prebuilt mesh"
+            )
+            devices = list(devices if devices is not None else jax.devices())
+            assert len(devices) >= replicas, (
+                f"{replicas} replicas need >= {replicas} devices, "
+                f"have {len(devices)}"
+            )
+            per = len(devices) // replicas
+            self.replicas = []
+            for i in range(replicas):
+                group = devices[i * per : (i + 1) * per]
+                if per == 1:
+                    rep = _Replica(i, cfg, params, bcfg, device=group[0])
+                else:
+                    from ..parallel import make_mesh
+
+                    rep = _Replica(
+                        i, cfg, params, bcfg,
+                        mesh=make_mesh(tp=per, dp=1, devices=group),
+                    )
+                self.replicas.append(rep)
+        self.engine = self.replicas[0].engine  # single-replica back-compat
+        self._rr = 0
+        self._httpd: ThreadingHTTPServer | None = None
+        self.t_start = time.time()
+        self.n_requests = 0
+        self.n_stream = 0
+
+    # --- request routing ----------------------------------------------------
+
+    def _pick(self) -> _Replica:
+        """Least-loaded replica; round-robin among ties."""
+        self._rr += 1
+        return min(
+            self.replicas,
+            key=lambda r: (r.load, (r.idx - self._rr) % len(self.replicas)),
+        )
+
     def submit(self, prompt_ids, n_predict, sp: SamplerParams, seed=0,
                ignore_eos=False, prefix=-1) -> _Stream:
-        reply: queue.Queue = queue.Queue()
         stream = _Stream()
         payload = dict(prompt=prompt_ids, n_predict=n_predict, sp=sp,
                        seed=seed, ignore_eos=ignore_eos, prefix=prefix,
                        on_token=stream.q.put, _stream=stream)
-        with self._cv:
-            self._pending.append(("submit", payload, reply))
-            self._cv.notify()
-        req = reply.get()
+        req = self._pick().post("submit", payload).get()
         if isinstance(req, Exception):
             raise req
         return stream
 
     def register_prefix(self, tokens: list[int]) -> int:
-        reply: queue.Queue = queue.Queue()
-        with self._cv:
-            self._pending.append(("prefix", tokens, reply))
-            self._cv.notify()
-        out = reply.get()
-        if isinstance(out, Exception):
-            raise out
-        return out
+        """Register on every replica; ids advance in lockstep (each replica
+        starts at 0 and sees the same registration sequence)."""
+        replies = [r.post("prefix", tokens) for r in self.replicas]
+        outs = [q.get() for q in replies]
+        for out in outs:
+            if isinstance(out, Exception):
+                raise out
+        assert len(set(outs)) == 1, f"replica prefix ids diverged: {outs}"
+        return outs[0]
 
     # --- lifecycle ----------------------------------------------------------
 
     def start(self, host: str = "127.0.0.1", port: int = 8000):
-        self._running = True
-        self._thread = threading.Thread(target=self._engine_loop, daemon=True)
-        self._thread.start()
+        for rep in self.replicas:
+            rep.start()
         server = self
 
         class Handler(_Handler):
@@ -206,11 +288,8 @@ class LlamaServer:
             self.shutdown()
 
     def shutdown(self):
-        with self._cv:
-            self._running = False
-            self._cv.notify()
-        if self._thread is not None:
-            self._thread.join(timeout=30)
+        for rep in self.replicas:
+            rep.stop()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -291,17 +370,39 @@ class LlamaServer:
         yield tail.decode("utf-8", "replace"), finish
 
     def stats(self) -> dict:
-        s = dict(self.engine.stats)
+        """Aggregate counters over replicas (+ a per-replica breakdown when
+        there is more than one)."""
+        s: dict = {}
+        per = []
+        for rep in self.replicas:
+            es = dict(rep.engine.stats)
+            es.update(
+                active_slots=sum(r is not None for r in rep.engine.slots),
+                queued=len(rep.engine.queue),
+            )
+            per.append(es)
+            for k, v in es.items():
+                if isinstance(v, (int, float)):
+                    s[k] = s.get(k, 0) + v
         s.update(
             uptime_s=round(time.time() - self.t_start, 1),
             requests=self.n_requests,
             model=self.model_name,
             max_batch=self.bcfg.max_batch,
-            active_slots=sum(r is not None for r in self.engine.slots),
-            queued=len(self.engine.queue),
+            replicas=len(self.replicas),
         )
         if s.get("t_decode"):
-            s["decode_tok_s"] = round(s["tokens"] / s["t_decode"], 1)
+            # aggregate decode throughput: replicas decode concurrently, so
+            # divide by wall uptime-bounded max, not the per-replica sum
+            s["decode_tok_s"] = round(
+                sum(
+                    (e["tokens"] / e["t_decode"]) if e.get("t_decode") else 0
+                    for e in per
+                ),
+                1,
+            )
+        if len(per) > 1:
+            s["per_replica"] = per
         return s
 
 
@@ -339,8 +440,15 @@ class _Handler(BaseHTTPRequestHandler):
                 if k in s:
                     lines.append(f"llamavk_{k} {s[k]}")
             lines.append(f"llamavk_uptime_seconds {s['uptime_s']}")
+            lines.append(f"llamavk_replicas {s.get('replicas', 1)}")
             if "decode_tok_s" in s:
                 lines.append(f"llamavk_decode_tokens_per_second {s['decode_tok_s']}")
+            for i, es in enumerate(s.get("per_replica", [])):
+                for k in ("tokens", "active_slots", "queued", "preempted"):
+                    if k in es:
+                        lines.append(
+                            f'llamavk_{k}{{replica="{i}"}} {es[k]}'
+                        )
             data = ("\n".join(lines) + "\n").encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")

@@ -188,3 +188,83 @@ def test_bad_requests(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+@pytest.fixture(scope="module")
+def replica_server(tmp_path_factory):
+    """Two single-device replicas on the CPU mesh (VERDICT r3 #4)."""
+    import jax
+
+    path = str(tmp_path_factory.mktemp("m") / "tiny-q4_0.bin")
+    random_tiny_model(write_path=path, quantize=True)
+    cfg, params, tok = load_model(path)
+    srv = LlamaServer(
+        cfg, params, tok,
+        BatchConfig(max_batch=2, n_ctx=64, block=4),
+        model_name="tiny-2rep", replicas=2, devices=jax.devices()[:2],
+    )
+    httpd = srv.start("127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, srv
+    srv.shutdown()
+
+
+def test_replicas_concurrent_exact(replica_server):
+    """Concurrent requests spread over 2 replicas; every stream must equal
+    the same request served alone (replica placement cannot change output)."""
+    base, srv = replica_server
+    assert len(srv.replicas) == 2
+    bodies = [
+        dict(prompt=[5, 9, 2, 30], max_tokens=5, temperature=0.0,
+             ignore_eos=True),
+        dict(prompt=[7, 3], max_tokens=5, temperature=0.0, ignore_eos=True),
+        dict(prompt=[1, 2, 3], max_tokens=5, temperature=1.1, top_p=0.9,
+             seed=7, ignore_eos=True),
+        dict(prompt=[42], max_tokens=4, temperature=0.0, ignore_eos=True),
+    ]
+    want = [_completion(base, **b)["choices"][0]["text"] for b in bodies]
+    got = [None] * len(bodies)
+
+    def run(i):
+        got[i] = _completion(base, **bodies[i])["choices"][0]["text"]
+
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(len(bodies))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert got == want
+    # both replicas actually decoded something across the test run
+    s = srv.stats()
+    assert s["replicas"] == 2
+    per = s["per_replica"]
+    assert len(per) == 2 and all(e["tokens"] > 0 for e in per), per
+
+
+def test_replicas_prefix_registers_everywhere(replica_server):
+    """A prefix registered through the front door must be usable no matter
+    which replica a request lands on (ids advance in lockstep)."""
+    base, srv = replica_server
+    status, data = _post(base, "/v1/prefixes", {"tokens": list(range(3, 16))})
+    assert status == 200
+    pid = json.loads(data)["prefix_id"]
+    want = _completion(base, prompt=list(range(3, 16)) + [5, 9],
+                       max_tokens=4, temperature=0.0, ignore_eos=True)
+    # run enough prefix requests that BOTH replicas serve at least one
+    outs = []
+
+    def run(i):
+        outs.append(_completion(base, prompt=[5, 9], max_tokens=4,
+                                temperature=0.0, ignore_eos=True,
+                                prefix_id=pid)["choices"][0]["text"])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(o == want["choices"][0]["text"] for o in outs), outs
+
