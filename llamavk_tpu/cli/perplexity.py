@@ -31,12 +31,17 @@ from ..models import init_kv_cache, llama_forward, load_model
 
 
 def make_chunk_nll(cfg, n_ctx: int, dtype=jnp.bfloat16, attn_impl: str = "auto",
-                   kv_dtype=None, ggml_rounding: str | None = None):
+                   kv_dtype=None, ggml_rounding: str | None = None,
+                   paged: bool = False, page_size: int = 32):
     """Jitted per-chunk NLL: tokens [1, T] → nll [T-1] f32 on device.
 
     nll[j] is the negative logprob of tokens[j+1] given positions 0..j —
     the quantity perplexity.cpp:66-75 computes per position, reduced on
     device so only T-1 scalars are transferred.
+
+    paged=True evaluates the chunk through a block-table page pool (an
+    identity table over freshly-mapped pages) — the production paged
+    serving path's numerics under the same quality harness.
     """
     kv = kv_dtype if kv_dtype is not None else (
         jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
@@ -44,11 +49,22 @@ def make_chunk_nll(cfg, n_ctx: int, dtype=jnp.bfloat16, attn_impl: str = "auto",
 
     @jax.jit
     def chunk_nll(params, tokens):
-        cache = init_kv_cache(cfg, 1, n_ctx, dtype=kv)
+        if paged:
+            from ..models import init_paged_kv_cache
+
+            nb = n_ctx // page_size
+            # pages 1..nb (page 0 is the reserved trash page by convention)
+            cache = init_paged_kv_cache(cfg, nb + 1, page_size,
+                                        dtype=jnp.dtype(kv))
+            table = jnp.arange(1, nb + 1, dtype=jnp.int32)[None]
+            extra = dict(page_table=table)
+        else:
+            cache = init_kv_cache(cfg, 1, n_ctx, dtype=jnp.dtype(kv))
+            extra = {}
         logits, _, _ = llama_forward(
             params, tokens, cache, jnp.int32(0), cfg,
             logits_all=True, dtype=dtype, attn_impl=attn_impl,
-            ggml_rounding=ggml_rounding,
+            ggml_rounding=ggml_rounding, **extra,
         )
         lg = logits[0].astype(jnp.float32)  # [T, V]
         logp = jax.nn.log_softmax(lg, axis=-1)
@@ -62,6 +78,7 @@ def perplexity_chunks(
     cfg, params, tokenizer, text: str | bytes, n_ctx: int = 512,
     max_chunks: int | None = None, dtype=jnp.bfloat16, attn_impl: str = "auto",
     kv_dtype=None, verbose: bool = True, ggml_rounding: str | None = None,
+    paged: bool = False, page_size: int = 32,
 ) -> list[float]:
     """Returns the running perplexity after each chunk (the reference's
     `[i]x.xxxx,` sequence)."""
@@ -72,7 +89,8 @@ def perplexity_chunks(
     if n_chunks == 0:
         raise ValueError(f"text too short: {len(tokens)} tokens < n_ctx {n_ctx}")
     chunk_nll = make_chunk_nll(cfg, n_ctx, dtype=dtype, attn_impl=attn_impl,
-                               kv_dtype=kv_dtype, ggml_rounding=ggml_rounding)
+                               kv_dtype=kv_dtype, ggml_rounding=ggml_rounding,
+                               paged=paged, page_size=page_size)
     nll, count, out = 0.0, 0, []
     for i in range(n_chunks):
         chunk = np.asarray(tokens[i * n_ctx : (i + 1) * n_ctx], np.int32)

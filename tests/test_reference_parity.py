@@ -243,3 +243,59 @@ def test_perplexity_parity(models, refbin, tmp_path):
     # bf16 activations vs the scalar engine's f16-gated f32 on a RANDOM
     # (untrained, high-entropy) model: measured max per-chunk delta 5.5%.
     np.testing.assert_allclose(prod, ref_q_ppl, rtol=0.10)
+
+
+def test_perplexity_parity_production_paths(models, refbin, tmp_path):
+    """VERDICT r3 #6: the PRODUCTION serving paths' quality vs the compiled
+    reference — int8 KV (fused in-kernel quantize/write/attend), paged KV
+    (block-table pool), paged x int8, and int4-plane weight storage — each
+    diffed against ./perplexity's per-chunk numbers on the q4_0 fixture.
+    Records the measured deltas for BASELINE.json `measured`."""
+    import jax.numpy as jnp
+
+    from llamavk_tpu.cli.perplexity import perplexity_chunks
+    from llamavk_tpu.models import load_model, params_to_i4
+
+    cfg_q, params_q, tok = load_model(models["q4_0"])
+    text = _ppl_text(tok)
+    tf = tmp_path / "ppl.txt"
+    tf.write_bytes(text)
+    ref_q = subprocess.run(
+        [
+            str(refbin / "perplexity"), "-m", models["q4_0"], "-f", str(tf),
+            "-c", "32", "-b", "32", "-t", "1", "-s", "1", "--memory_f32",
+        ],
+        check=True,
+        capture_output=True,
+    ).stdout.decode()
+    ref_q_ppl = [float(x) for x in re.findall(r"\[\d+\]([0-9.]+),", ref_q)]
+    assert len(ref_q_ppl) >= 5
+
+    def run(label, **kw):
+        ours = perplexity_chunks(
+            cfg_q, kw.pop("params", params_q), tok, text, n_ctx=32,
+            max_chunks=len(ref_q_ppl), verbose=False, **kw,
+        )
+        rel = float(np.max(np.abs(np.asarray(ours) / np.asarray(ref_q_ppl)
+                                  - 1.0)))
+        print(f"ppl-parity {label}: max per-chunk rel delta {rel:.4f}")
+        return ours, rel
+
+    # int8 KV: per-row quantization noise on top of the bf16-vs-f16 gap.
+    # On this random tiny model (high-entropy, untrained) measured ~7%.
+    int8_ppl, int8_rel = run("int8-kv", kv_dtype=jnp.int8)
+    np.testing.assert_allclose(int8_ppl, ref_q_ppl, rtol=0.15)
+
+    # paged KV (bf16 pool): identical math to flat bf16 modulo the block
+    # partition — must sit at the flat production delta (<10%)
+    paged_ppl, _ = run("paged-bf16", paged=True)
+    np.testing.assert_allclose(paged_ppl, ref_q_ppl, rtol=0.10)
+
+    # paged x int8 (the flagship serving config)
+    paged8_ppl, _ = run("paged-int8", paged=True, kv_dtype=jnp.int8)
+    np.testing.assert_allclose(paged8_ppl, ref_q_ppl, rtol=0.15)
+
+    # int4-plane weight storage (identical quantized VALUES — only dot
+    # partition order differs from the byte-packed path)
+    i4_ppl, _ = run("int4-planes", params=params_to_i4(params_q))
+    np.testing.assert_allclose(i4_ppl, ref_q_ppl, rtol=0.10)

@@ -39,6 +39,10 @@ def log(*a):
 
 
 def time_fn(fn, *args, inner=64):
+    """args[0] is the scan carry; args[1:] ride as jit ARGUMENTS (never
+    closure captures — 7B params serialize through the axon AOT tunnel as
+    multi-GB constants otherwise, CLAUDE.md rule)."""
+
     @partial(decode_jit, static_argnames=("n",))
     def loop(args, n):
         def body(c, _):
@@ -67,14 +71,14 @@ def main():
     log("building params ...")
     params = params_to_i4(synthetic_params(cfg, seed=0))
     jax.block_until_ready(params)
-    lp = params.layers
     L, e, d = cfg.n_layer, cfg.n_embd, cfg.head_dim
     h = cfg.n_head
     layer_ids = jnp.arange(L, dtype=jnp.int32)
     cos, sin = rope_cos_sin(jnp.full((1, 1), 256, jnp.int32), cfg.n_rot,
                             cfg.rope_theta)
 
-    def mm_step(x, with_norm, with_rope):
+    def mm_step(x, params, with_norm, with_rope):
+        lp = params.layers
         def layer(x, l):
             if with_norm:
                 an = jax.lax.dynamic_index_in_dim(lp.attn_norm, l, 0, False)
@@ -115,17 +119,17 @@ def main():
 
     x0 = jnp.ones((1, 1, e), jnp.bfloat16)
     for name, fn in [
-        ("mm", lambda x: mm_step(x, False, False)),
-        ("mm+norm", lambda x: mm_step(x, True, False)),
-        ("mm+norm+rope+silu", lambda x: mm_step(x, True, True)),
+        ("mm+silu", lambda x, p: mm_step(x, p, False, False)),
+        ("mm+silu+norm", lambda x, p: mm_step(x, p, True, False)),
+        ("mm+silu+norm+rope", lambda x, p: mm_step(x, p, True, True)),
     ]:
-        dt = time_fn(fn, x0)
+        dt = time_fn(fn, x0, params)
         log(f"{name:20s} {dt*1e3:6.2f} ms/step")
 
     # full forward (int8 KV), with and without sampling
     cache = init_kv_cache(cfg, 1, 512, dtype=jnp.int8)
 
-    def full(state):
+    def full(state, params):
         tok, cache, i = state
         logits, cache, _ = llama_forward(
             params, tok.reshape(1, 1), cache, jnp.int32(200) + i, cfg
@@ -133,8 +137,8 @@ def main():
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         return (nxt, cache, i + 1)
 
-    dt = time_fn(lambda s: full(s), (jnp.ones((1,), jnp.int32), cache,
-                                     jnp.int32(0)), inner=64)
+    dt = time_fn(full, (jnp.ones((1,), jnp.int32), cache, jnp.int32(0)),
+                 params, inner=64)
     log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step (n_past ~200-392)")
 
 
