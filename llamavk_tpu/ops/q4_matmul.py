@@ -596,19 +596,23 @@ def q4_matmul(
     if i4:
         # int4-plane storage: the plane rows are group-PADDED, so the
         # logical K comes from x; per-chunk storage width is QK * Gp.
+        # N may be storage-padded too (qweight_to_i4 pad_n): tiles run over
+        # the padded width, outputs slice back to the real n_orig.
         # f32 scale mul is the measured-fastest variant (bf16 mul is
         # SLOWER here — tools/bench_i4_stacked.py i4st vs i4st_bf16).
         mul_dtype = jnp.float32
         k = x.shape[-1]
-        n = qw.packed.shape[-1]
+        n_stor = qw.packed.shape[-1]
+        n = qw.n_orig or n_stor
         g = qw.scales.shape[-2]  # chunks * Gp
         assert g // chunks == i4_group_pad((k // chunks) // QK), (k, g, chunks)
     elif stacked:
         k = 2 * qw.packed.shape[-2]
-        n = qw.packed.shape[-1]
+        n = n_stor = qw.packed.shape[-1]
         g = qw.scales.shape[-2]
     else:
         k, n, g = qw.k, qw.n, qw.g
+        n_stor = n
     kc = k // chunks
     # per-chunk STORAGE rows of x/packed (i4st pads groups to 128)
     kc_eff = QK * (g // chunks) if i4 else kc
@@ -663,8 +667,8 @@ def q4_matmul(
         bb = min(block_b, bp)
         while bb > 8 and bb * kc_eff * 2 > 6 * 1024 * 1024:
             bb //= 2  # keep the activation tile within VMEM for large K
-        bn = _fit_bn(min(block_n, n), kc_eff, g // chunks, bb)
-        while bn >= 128 and (n % bn or bn % 128):
+        bn = _fit_bn(min(block_n, n_stor), kc_eff, g // chunks, bb)
+        while bn >= 128 and (n_stor % bn or bn % 128):
             bn -= 128
         if bn < 128:
             # fall back: slice this layer out and use the flat path
@@ -704,7 +708,7 @@ def q4_matmul(
                     unpack,
                 )
                 y = yc if y is None else y + yc
-            y = y[:b]
+            y = y[:b, :n]
             if qw.bias is not None:
                 bias_l = jax.lax.dynamic_index_in_dim(qw.bias, layer_idx, 0, False)
                 y = y + jnp.dot(
@@ -725,7 +729,7 @@ def q4_matmul(
 
     # pad batch to a sublane multiple; pad N to a lane multiple
     bp = _round_up(max(b, 8), 8)
-    bn = min(block_n, _round_up(n, 128))
+    bn = min(block_n, _round_up(n_stor, 128))
     bb = min(block_b, bp)
     while bb > 8 and bb * kc_eff * 2 > 6 * 1024 * 1024:
         bb //= 2  # keep the activation tile within VMEM for large K
@@ -734,18 +738,18 @@ def q4_matmul(
     # weight + scales on every call (measured ~0.45 ms/token on the 32000-wide
     # logits matmul, which 512 does not divide)
     bn_div = bn
-    while bn_div >= 128 and (n % bn_div or bn_div % 128):
+    while bn_div >= 128 and (n_stor % bn_div or bn_div % 128):
         bn_div -= 128
     if bn_div >= 128:
         bn = bn_div
-    npad = _round_up(n, bn)
+    npad = _round_up(n_stor, bn)
     bp = _round_up(bp, bb)
     if bp != b:
         xf = jnp.pad(xf, ((0, bp - b), (0, 0)))
     packed, scales = qw.packed, qw.scales
-    if npad != n:
-        packed = jnp.pad(packed, ((0, 0), (0, npad - n)))
-        scales = jnp.pad(scales, ((0, 0), (0, npad - n)))
+    if npad != n_stor:
+        packed = jnp.pad(packed, ((0, 0), (0, npad - n_stor)))
+        scales = jnp.pad(scales, ((0, 0), (0, npad - n_stor)))
 
     gc = g // chunks
     prows = kc_eff if i4 else kc_eff // 2  # packed rows per chunk

@@ -27,6 +27,11 @@ class QWeight:
     bias: jax.Array | None  # [G, N] or None
     layout: str = field(metadata=dict(static=True), default=LAYOUT_ILV)
     chunks: int = field(metadata=dict(static=True), default=1)
+    # LAYOUT_I4 with pre-padded N columns (qweight_to_i4 pad_n): the REAL
+    # output width; 0 = storage width is the real width. Static so the
+    # matmul can slice the zero-pad columns off. Only set on single-replica
+    # (unsharded) planes — a padded global N would break tp column shards.
+    n_orig: int = field(metadata=dict(static=True), default=0)
 
     @property
     def k(self) -> int:
@@ -63,7 +68,7 @@ def i4_group_pad(gc: int) -> int:
     return -(-gc // 128) * 128
 
 
-def qweight_to_i4(qw: QWeight) -> QWeight:
+def qweight_to_i4(qw: QWeight, pad_n: int = 0) -> QWeight:
     """Convert an ilv QWeight to int4-plane storage (LAYOUT_I4).
 
     The int8 split-half byte plane [.., K/2, N] becomes a jnp.int4 plane
@@ -77,7 +82,16 @@ def qweight_to_i4(qw: QWeight) -> QWeight:
     533 -> 854 GB/s on the B=1 wqkv matmul (tools/bench_i4_stacked.py).
 
     Works on flat [K/2, N] and stacked [L, K/2, N] planes. Requires the
-    int4 dispatch shim (utils/int4_dispatch) under the axon plugin."""
+    int4 dispatch shim (utils/int4_dispatch) under the axon plugin.
+
+    pad_n > 0 additionally zero-pads N up to a multiple of pad_n so the
+    kernel's N tile can be the int4 sweet spot (bn1024) even when it does
+    not divide the true N (the 7B w13's 22016 and the 32000-wide logits
+    are the cases that matter — they otherwise fall back to bn512/bn640).
+    The padded columns compute zeros the matmul slices off (QWeight.n_orig
+    records the real width). Requires chunks == 1 and must NOT be used on
+    weights that will be tp-column-sharded (the pad would land entirely in
+    the last shard)."""
     from ..utils.int4_dispatch import ensure_int4_dispatch
 
     assert qw.layout == LAYOUT_ILV, qw.layout
@@ -89,6 +103,10 @@ def qweight_to_i4(qw: QWeight) -> QWeight:
     gc = kc // QK
     gp = i4_group_pad(gc)
     lead = qw.packed.shape[:-2]
+    np_ = n
+    if pad_n and n % pad_n:
+        assert chunks == 1, "pad_n requires unchunked (non-tp-row) weights"
+        np_ = -(-n // pad_n) * pad_n
 
     @jax.jit
     def conv(packed, scales):
@@ -96,17 +114,19 @@ def qweight_to_i4(qw: QWeight) -> QWeight:
         lo = (p << 28) >> 28
         hi = p >> 4
         w = jnp.concatenate([lo, hi], axis=-3).astype(jnp.int8)
-        # [..., chunks, QK, gc, n] -> pad gc -> flatten to rows m*Gp + g
-        pad = [(0, 0)] * (w.ndim - 2) + [(0, gp - gc), (0, 0)]
+        # [..., chunks, QK, gc, n] -> pad gc (and n) -> rows m*Gp + g
+        pad = [(0, 0)] * (w.ndim - 2) + [(0, gp - gc), (0, np_ - n)]
         w = jnp.pad(w, pad)
-        w4 = w.reshape(*lead, chunks * QK * gp, n).astype(jnp.int4)
+        w4 = w.reshape(*lead, chunks * QK * gp, np_).astype(jnp.int4)
         s = scales.reshape(*lead, chunks, gc, n)
-        s = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, gp - gc), (0, 0)])
-        return w4, s.reshape(*lead, chunks * gp, n)
+        s = jnp.pad(
+            s, [(0, 0)] * (s.ndim - 2) + [(0, gp - gc), (0, np_ - n)]
+        )
+        return w4, s.reshape(*lead, chunks * gp, np_)
 
     w4, s = conv(qw.packed, qw.scales)
     return QWeight(packed=w4, scales=s, bias=qw.bias, layout=LAYOUT_I4,
-                   chunks=chunks)
+                   chunks=chunks, n_orig=n if np_ != n else 0)
 
 
 def dequantize_qweight(qw: QWeight, dtype=jnp.float32) -> jax.Array:

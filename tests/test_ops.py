@@ -346,3 +346,32 @@ def test_q4_matmul_i4st_q4_1_bias():
     y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
     np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
                                rtol=2e-2, atol=2e-2)
+
+
+def test_q4_matmul_i4st_padded_n():
+    """qweight_to_i4(pad_n=...): zero-pad columns tile at the requested
+    multiple and slice off — flat AND stacked, with a non-dividing N."""
+    from llamavk_tpu.ops.qweight import qweight_to_i4
+
+    k, n = 256, 384  # pad_n=256 -> storage N 512
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    qw4 = qweight_to_i4(qw, pad_n=256)
+    assert qw4.packed.shape[-1] == 512 and qw4.n_orig == n
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.bfloat16)
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    assert y.shape == (3, n)
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=2e-2, atol=2e-2)
+    # stacked
+    import jax as _jax
+    qws = [_make_qw(k, n, LAYOUT_ILV, seed=i) for i in range(2)]
+    stacked = _jax.tree.map(lambda *a: jnp.stack(a), *(q for q, _ in qws))
+    st4 = qweight_to_i4(stacked, pad_n=256)
+    for l in range(2):
+        y = np.asarray(
+            q4_matmul(x, st4, out_dtype=jnp.float32, layer_idx=jnp.int32(l))
+        )
+        assert y.shape == (3, n)
+        np.testing.assert_allclose(y, np.asarray(x, np.float32) @ qws[l][1],
+                                   rtol=2e-2, atol=2e-2)
