@@ -623,10 +623,14 @@ def q4_matmul(
     xf = x.reshape(b, k).astype(jnp.bfloat16)
     if block_n is None:
         # int4 planes halve the weight-tile bytes, so the DMA-efficiency
-        # sweet spot doubles: bn1024 measured 149.4 tok/s E2E vs 146.1 at
-        # 512 (bn2048 regresses to 143.0 — v5e B=1, 2026-08-20). The byte
-        # path keeps 512 (bn2048 was an E2E null result there, see below).
-        block_n = _ENV_BN or (1024 if i4 else _pick_bn(b))
+        # sweet spot doubles at DECODE batches: bn1024 measured 149.4 tok/s
+        # E2E vs 146.1 at 512 (bn2048 regresses to 143.0 — v5e B=1,
+        # 2026-08-20). Prefill-sized batches keep 512 (bigger x/out tiles
+        # already amortize the DMA; 1024 measured prefill 54.0 vs 51.3
+        # ms/chunk). bn only splits N — outputs are bitwise identical
+        # across bn, so a batch-dependent default cannot flip streams.
+        # The byte path keeps 512 everywhere (bn2048 was a r3 null result).
+        block_n = _ENV_BN or (1024 if (i4 and b <= 64) else _pick_bn(b))
     mode = dot_mode or _ENV_DOT
     # "i4": int4-bitcast unpack of the SAME ilv byte plane (see _kernel_q4)
     unpack = "i4" if (mode == "i4" and qw.layout == LAYOUT_ILV) else "shift"

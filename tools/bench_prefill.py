@@ -124,6 +124,24 @@ def main():
                 f"({flops/dt/1e12/PEAK_TFLOPS*100:3.0f}%)"
             )
             totals[vname] += dt
+        # int4-plane storage (the r4 production path): converted qw
+        from llamavk_tpu.ops.qweight import qweight_to_i4
+
+        qw4 = qweight_to_i4(qw, pad_n=1024)
+        for vname, kw in [("i4st/bn512", dict(block_n=512)),
+                          ("i4st/bn1024", dict(block_n=1024))]:
+            try:
+                dt = time_fn(lambda x_, q_: q4_matmul(x_, q_, **kw), x, qw4)
+            except Exception as e:
+                row.append(f"{vname}: FAIL({type(e).__name__})")
+                totals.setdefault(vname, 0.0)
+                totals[vname] = float("inf")
+                continue
+            row.append(
+                f"{vname}: {dt*1e3:6.2f}ms {flops/dt/1e12:5.1f}TF/s"
+                f"({flops/dt/1e12/PEAK_TFLOPS*100:3.0f}%)"
+            )
+            totals[vname] = totals.get(vname, 0.0) + dt
         log("  ".join(row))
     log("")
     best_name, best_t = None, float("inf")
@@ -147,6 +165,10 @@ def main():
         (None, 256, 256), (4, 256, 256), (8, 256, 256),
         (2, 512, 256), (4, 512, 256), (8, 512, 512),
         (4, 256, 512), (16, 256, 256),
+        # r4: more heads per program with SMALLER kv blocks (hg>=8 at
+        # bk=256 exhausts VMEM; fewer programs = fewer DMA-latency stalls)
+        (8, 256, 128), (16, 256, 128), (8, 512, 128), (16, 512, 128),
+        (32, 256, 64), (16, 256, 64), (8, 256, 64),
     ]
     for hg, bt, bk in attn_sweep:
         def attn(q_, kn, vn, ck, cv, hg=hg, bt=bt, bk=bk):
