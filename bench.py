@@ -34,7 +34,6 @@ from llamavk_tpu.models import (
     ModelConfig,
     init_kv_cache,
     llama_forward,
-    params_to_i4,
     synthetic_params,
 )
 from llamavk_tpu.utils.jitopts import decode_jit
@@ -89,11 +88,10 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
     if params is None:
         log(f"building synthetic {model} Q4_0 params on {jax.devices()[0]} ...")
         t0 = time.perf_counter()
-        params = synthetic_params(cfg, seed=0)
-        if int4:
-            # int4-plane weight storage (models/loader.params_to_i4): the
-            # kernel's native int4->f32 convert replaces the shift unpack
-            params = params_to_i4(params)
+        # int4-plane weight storage generated DIRECTLY (same geometry as
+        # models/loader.params_to_i4; generate-then-convert transiently
+        # needs ~2x the weights, which fragments 13B past 16 GB)
+        params = synthetic_params(cfg, seed=0, int4=int4)
         jax.block_until_ready(params)
         log(f"params ready in {time.perf_counter() - t0:.1f}s"
             f" (int4 planes: {int4})")

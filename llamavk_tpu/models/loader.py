@@ -251,7 +251,8 @@ def params_from_reader(
     return cfg, params
 
 
-def params_to_i4(params: LlamaParams, pad_n: int = 1024) -> LlamaParams:
+def params_to_i4(params: LlamaParams, pad_n: int = 1024,
+                 consume: bool = False) -> LlamaParams:
     """Convert every packed linear weight to int4-PLANE storage
     (ops/qweight.qweight_to_i4): the HBM array becomes jnp.int4 in ilv row
     order (per-chunk group count padded to 128), and the matmul kernel
@@ -269,13 +270,25 @@ def params_to_i4(params: LlamaParams, pad_n: int = 1024) -> LlamaParams:
     the int4 N-tile sweet spot bn1024 (w13's 22016 and the 32000-wide
     logits otherwise fall back to narrow tiles — measured +0.3 ms/step).
     Applied only to UNCHUNKED weights; pass 0 for tp-sharded params (a
-    padded global N would land the pad in one column shard)."""
+    padded global N would land the pad in one column shard).
+
+    consume=True CONSUMES the input params: each source byte plane is
+    deleted as soon as its int4 plane exists (holding every source alive
+    through the whole tree put the 13B conversion's HBM peak past 16 GB).
+    The input tree is unusable afterwards — rebind, as in
+    `params = params_to_i4(params, consume=True)`. Load paths pass it;
+    leave False when the source tree must stay usable."""
     from ..ops.qweight import QWeight, qweight_to_i4
 
     def conv(w):
         if not isinstance(w, QWeight):
             return w
-        return qweight_to_i4(w, pad_n=0 if w.chunks > 1 else pad_n)
+        out = qweight_to_i4(w, pad_n=0 if w.chunks > 1 else pad_n)
+        if consume:
+            jax.block_until_ready(out)
+            w.packed.delete()
+            w.scales.delete()
+        return out
 
     return jax.tree.map(
         conv, params, is_leaf=lambda x: isinstance(x, QWeight)
@@ -290,7 +303,9 @@ def load_model(
     if int4_planes:
         # tp loads interleave per-shard column segments: N-padding would
         # break the shard structure, so pad only single-replica loads
-        params = params_to_i4(params, pad_n=0 if kw.get("tp", 1) > 1 else 1024)
+        params = params_to_i4(
+            params, pad_n=0 if kw.get("tp", 1) > 1 else 1024, consume=True
+        )
     return cfg, params, Tokenizer(reader.vocab)
 
 
@@ -461,21 +476,49 @@ def synthetic_params(
     scale_dtype=jnp.bfloat16,
     tp: int = 1,
     layout: str = LAYOUT_ILV,
+    int4: bool = False,
+    pad_n: int = 1024,
 ) -> LlamaParams:
     """Random Q4_0-packed params generated directly on device (no host copy).
 
     Weight values are plausible-magnitude random nibbles/scales; used for
     benchmarking the compute path at full 7B/13B/... shapes. The whole pytree
     is generated inside ONE jit program (one dispatch — device/remote
-    round-trips are not free)."""
+    round-trips are not free).
+
+    int4=True generates LAYOUT_I4 planes DIRECTLY (same geometry as
+    params_to_i4: padded group counts, pad_n column padding) — the bench
+    path for big models, where generate-then-convert transiently needs
+    ~2x the weights and can fragment HBM (13B hit 16 GB)."""
     from ..models.llama import QEmbedding
-    from ..ops.qweight import QWeight
+    from ..ops.qweight import QWeight, i4_group_pad
+
+    if int4:
+        from ..utils.int4_dispatch import ensure_int4_dispatch
+
+        ensure_int4_dispatch()
+    from ..formats.repack import LAYOUT_I4
 
     L = cfg.n_layer
     e, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
 
     def qw(key, k, n, lead=(), chunks=1):
         k1, k2 = jax.random.split(key)
+        if int4:
+            gc = (k // chunks) // QK
+            gp = i4_group_pad(gc)
+            np_ = n
+            if chunks == 1 and pad_n and n % pad_n:
+                np_ = -(-n // pad_n) * pad_n
+            packed = jax.random.randint(
+                k1, (*lead, chunks * QK * gp, np_), -8, 8, dtype=jnp.int8
+            ).astype(jnp.int4)
+            scales = jax.random.uniform(
+                k2, (*lead, chunks * gp, np_), jnp.float32, 0.005, 0.02
+            ).astype(scale_dtype)
+            return QWeight(packed=packed, scales=scales, bias=None,
+                           layout=LAYOUT_I4, chunks=chunks,
+                           n_orig=n if np_ != n else 0)
         packed = jax.random.randint(k1, (*lead, k // 2, n), -128, 128, dtype=jnp.int8)
         scales = jax.random.uniform(
             k2, (*lead, k // QK, n), jnp.float32, 0.005, 0.02

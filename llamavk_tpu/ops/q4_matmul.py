@@ -125,15 +125,22 @@ def _kernel_q4(
         # [K_stor, BN], row m*Gp + g scaled by s[g] — one native int4 ->
         # mul_dtype widening convert replaces the whole widen/shift/mask
         # unpack (~5 -> ~2 VPU ops/weight; v5e B=1 wqkv 533 -> 854 GB/s,
-        # tools/bench_i4_stacked.py). Gp is 128-row aligned by construction
-        # (i4_group_pad), which Mosaic's int4 slicing requires.
+        # tools/bench_i4_stacked.py). Mosaic int4 slice LENGTHS must be
+        # multiples of 128: either Gp already is (i4_group_pad padded it),
+        # or the loop walks c m-stripes per slice with the scale plane
+        # concatenated c times (i4_slice_group — e.g. 13B's Gp=160 at c=4).
+        from .qweight import i4_slice_group
+
         m_steps = p_ref.shape[0] // g  # == QK
-        for m in range(m_steps):
-            w = (p_ref[m * g : (m + 1) * g, :].astype(mul_dtype) * s).astype(
-                dot_dtype
-            )
+        c = i4_slice_group(g)
+        assert c, (g, "i4 plane group count not slice-compatible")
+        sc = jnp.concatenate([s] * c, axis=0) if c > 1 else s
+        for m in range(m_steps // c):
+            w = (
+                p_ref[m * g * c : (m + 1) * g * c, :].astype(mul_dtype) * sc
+            ).astype(dot_dtype)
             acc += jnp.dot(
-                x[:, m * g : (m + 1) * g], w,
+                x[:, m * g * c : (m + 1) * g * c], w,
                 preferred_element_type=jnp.float32,
             )
     elif layout == LAYOUT_ILV and unpack == "i4":

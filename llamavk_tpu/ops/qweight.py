@@ -59,12 +59,27 @@ def qweight_from_packed(
     )
 
 
+def i4_slice_group(gc: int) -> int:
+    """Slice-grouping factor c for the int4 kernel: Mosaic int4 sublane
+    slices must be 128-row-aligned in LENGTH (measured on v5e 2026-08-20 —
+    lengths 128/256/384/640 compile, 160/352 hit the create_mask int4 bug),
+    so the kernel walks c m-stripes per slice, slice length gc*c. Returns 0
+    when no c <= 4 works (the scale concat temp stays small only for small
+    c) — the caller pads gc instead."""
+    for c in (1, 2, 4):
+        if (gc * c) % 128 == 0:
+            return c
+    return 0
+
+
 def i4_group_pad(gc: int) -> int:
-    """Padded per-chunk group count of the int4 storage plane: Mosaic int4
-    sublane slices must be 128-row aligned (measured on v5e 2026-08-20 —
-    g=128/256/384 compile, 160/352 hit the create_mask int4 bug), so the
-    kernel's per-m-step G-row slices need G % 128 == 0. Zero rows pad the
-    difference (zero weights x zero scales contribute nothing)."""
+    """Per-chunk group count of the int4 storage plane: unchanged when a
+    slice grouping exists (i4_slice_group), else padded to a multiple of
+    128 with zero rows (zero weights x zero scales contribute nothing).
+    7B: gc 128 direct, w2's 344 -> 384 (+11.6% reads). 13B: gc 160 grouped
+    at c=4 (no pad — padding to 256 would cost +60%), w2's 432 -> 512."""
+    if i4_slice_group(gc):
+        return gc
     return -(-gc // 128) * 128
 
 
@@ -110,21 +125,28 @@ def qweight_to_i4(qw: QWeight, pad_n: int = 0) -> QWeight:
 
     @jax.jit
     def conv(packed, scales):
-        p = packed.reshape(*lead, chunks, QK // 2, gc, n).astype(jnp.int32)
+        # FLAT [K/2, N] -> ([K_stor, Np] int4, [G_stor, Np]); stacked
+        # weights convert layer by layer below (one whole-plane unpack of a
+        # 13B w13 transiently costs ~3x its size — per-layer keeps the
+        # peak at final + source)
+        p = packed.reshape(chunks, QK // 2, gc, n).astype(jnp.int32)
         lo = (p << 28) >> 28
         hi = p >> 4
         w = jnp.concatenate([lo, hi], axis=-3).astype(jnp.int8)
-        # [..., chunks, QK, gc, n] -> pad gc (and n) -> rows m*Gp + g
-        pad = [(0, 0)] * (w.ndim - 2) + [(0, gp - gc), (0, np_ - n)]
+        pad = [(0, 0), (0, 0), (0, gp - gc), (0, np_ - n)]
         w = jnp.pad(w, pad)
-        w4 = w.reshape(*lead, chunks * QK * gp, np_).astype(jnp.int4)
-        s = scales.reshape(*lead, chunks, gc, n)
-        s = jnp.pad(
-            s, [(0, 0)] * (s.ndim - 2) + [(0, gp - gc), (0, np_ - n)]
-        )
-        return w4, s.reshape(*lead, chunks * gp, np_)
+        w4 = w.reshape(chunks * QK * gp, np_).astype(jnp.int4)
+        s = scales.reshape(chunks, gc, n)
+        s = jnp.pad(s, [(0, 0), (0, gp - gc), (0, np_ - n)])
+        return w4, s.reshape(chunks * gp, np_)
 
-    w4, s = conv(qw.packed, qw.scales)
+    if lead:
+        assert len(lead) == 1, lead
+        parts = [conv(qw.packed[l], qw.scales[l]) for l in range(lead[0])]
+        w4 = jnp.stack([p_ for p_, _ in parts])
+        s = jnp.stack([s_ for _, s_ in parts])
+    else:
+        w4, s = conv(qw.packed, qw.scales)
     return QWeight(packed=w4, scales=s, bias=qw.bias, layout=LAYOUT_I4,
                    chunks=chunks, n_orig=n if np_ != n else 0)
 

@@ -375,3 +375,41 @@ def test_q4_matmul_i4st_padded_n():
         assert y.shape == (3, n)
         np.testing.assert_allclose(y, np.asarray(x, np.float32) @ qws[l][1],
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("k,c_want", [(1024, 4), (2048, 2)])
+def test_q4_matmul_i4st_slice_grouping(k, c_want):
+    """Group counts that are not 128-multiples but reach 128-alignment by
+    walking c m-stripes per slice (i4_slice_group) store UNPADDED planes
+    (the 13B shapes: gc=160 at c=4) and still match the dense reference."""
+    from llamavk_tpu.ops.qweight import i4_slice_group, qweight_to_i4
+
+    gc = k // 32
+    assert i4_slice_group(gc) == c_want
+    n = 256
+    qw, wd = _make_qw(k, n, LAYOUT_ILV)
+    qw4 = qweight_to_i4(qw)
+    assert qw4.scales.shape[0] == gc  # NOT padded
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, k)), jnp.bfloat16)
+    y = np.asarray(q4_matmul(x, qw4, out_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x, np.float32) @ wd,
+                               rtol=3e-2, atol=2e-2 * (k / 256) ** 0.5)
+
+
+def test_synthetic_int4_geometry_matches_conversion():
+    """synthetic_params(int4=True) must generate EXACTLY the plane geometry
+    params_to_i4 produces (bench runs the direct path; real loads convert)."""
+    import jax as _jax
+    from llamavk_tpu.models import ModelConfig, params_to_i4, synthetic_params
+
+    cfg = ModelConfig(n_vocab=384, n_embd=256, n_layer=2, n_head=2,
+                      n_rot=128, n_ff=320)
+    p8 = synthetic_params(cfg, seed=0)
+    conv = params_to_i4(p8, pad_n=256)
+    gen = synthetic_params(cfg, seed=0, int4=True, pad_n=256)
+    for a, b in zip(_jax.tree.leaves(conv), _jax.tree.leaves(gen)):
+        assert a.shape == b.shape and a.dtype == b.dtype, (a.shape, b.shape)
+    fc = _jax.tree.structure(conv)
+    fg = _jax.tree.structure(gen)
+    assert fc == fg

@@ -57,11 +57,7 @@ def main():
 
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
     log(f"building synthetic {args.model} params ...")
-    params = synthetic_params(cfg, seed=0)
-    if not args.no_int4:
-        from llamavk_tpu.models import params_to_i4
-
-        params = params_to_i4(params)
+    params = synthetic_params(cfg, seed=0, int4=not args.no_int4)
     eng = BatchedEngine(
         cfg,
         params,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from llamavk_tpu.models import (
-    LLAMA_CONFIGS, ModelConfig, init_kv_cache, llama_forward, params_to_i4,
+    LLAMA_CONFIGS, ModelConfig, init_kv_cache, llama_forward,
     synthetic_params,
 )
 from llamavk_tpu.ops.norms import rms_norm
@@ -69,7 +69,7 @@ def time_fn(fn, *args, inner=64):
 def main():
     cfg = ModelConfig(**LLAMA_CONFIGS["7B"])
     log("building params ...")
-    params = params_to_i4(synthetic_params(cfg, seed=0))
+    params = synthetic_params(cfg, seed=0, int4=True)
     jax.block_until_ready(params)
     L, e, d = cfg.n_layer, cfg.n_embd, cfg.head_dim
     h = cfg.n_head
