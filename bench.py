@@ -213,10 +213,14 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
 
 
 # (model, batch, kv): the roofline sweep — batch 32 bf16 is the KV-memory
-# ceiling on one v5e at n_ctx 512 (17 GB at 64); int8 KV runs 64
+# ceiling on one v5e at n_ctx 512 (17 GB at 64); int8 KV runs 64. The
+# B=1/2/4/8 int8 rows are the latency-vs-throughput curve (ROADMAP r3 1c:
+# a second interleaved stream at B=1-class latency).
 TABLE_CONFIGS = [
     ("7B", 1, "bfloat16"),
     ("7B", 1, "int8"),
+    ("7B", 2, "int8"),
+    ("7B", 4, "int8"),
     ("7B", 8, "bfloat16"),
     ("7B", 8, "int8"),
     ("7B", 32, "bfloat16"),
