@@ -61,6 +61,16 @@ _ENV_HG_Q = int(os.environ.get("LLAMAVK_HG_Q", "0"))
 # vs 50.0 ms — tools/bench_prefill.py --only-forward A/B, v5e 2026-08-19),
 # so 4 is the default; 0 here keeps it.
 _ENV_HG_PF = int(os.environ.get("LLAMAVK_HG_PF", "0"))
+# MEASURED NEGATIVE RESULT (v5e 2026-08-20): overlapping the RMW window
+# write-back with the attend loop (async start + a pl.when(jstar) wait
+# before the first overlapping block's fetch) measured SLOWER end-to-end —
+# decode 6.74 vs 6.49 ms/step, prefill 54.5 vs 54.0 ms/chunk — the
+# conditional wait in the prefetch chain costs more than the overlap buys
+# (and at decode XLA already overlaps the whole kernel with the next
+# matmul's weight DMA). Default stays SYNChronous; set LLAMAVK_ASYNC_WB=1
+# to re-probe after Mosaic updates. Numerics of both paths verified
+# on-chip (byte-exact caches, exact scales at HIGHEST one-hot precision).
+_ENV_ASYNC_WB = os.environ.get("LLAMAVK_ASYNC_WB", "") == "1"
 
 
 def _fit_block_k(block_k: int, s: int, step: int = 8) -> int:
@@ -306,13 +316,18 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             jax.lax.broadcasted_iota(jnp.int32, (hg, n_lanes), 1)
             == hb * hg + jax.lax.broadcasted_iota(jnp.int32, (hg, n_lanes), 0)
         ).astype(jnp.float32)
+        # HIGHEST: the MXU's default f32 path rounds through bf16 passes —
+        # measured 2e-3 relative on written scales (pre-r4, on-chip); these
+        # dots are tiny, so exact f32 is free
         k_sc_bt = jax.lax.dot_general(  # [BT, H]
             ksc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         v_sc_bt = jax.lax.dot_general(
             vsc, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (bt, n_lanes), 1)
         own = (lane >= hb * hg) & (lane < hb * hg + hg)
@@ -355,8 +370,23 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
 
     for c in writes:
         c.start()
-    for c in writes:
-        c.wait()
+    write_wait = None
+    if not (paged and straddle) and _ENV_ASYNC_WB:
+        # ASYNC write-back: attention starts immediately and overlaps the
+        # window write-back with its prefix-block reads (the serialized
+        # readwin -> merge -> writeback -> attend chain cost ~55 us/program
+        # at prefill, tools/bench_prefill.py r4). Blocks before the RMW
+        # window are untouched by the write; the attend loop waits the
+        # write copies once, right before fetching the first overlapping
+        # block (jstar). jstar < nblocks always: the attend limit covers
+        # the written rows, so the wait cannot be skipped.
+        jstar = (start - off) // block_k
+        if quantized:
+            jstar = jnp.minimum(jstar, (start - soff) // block_k)
+        write_wait = (writes, jstar)
+    else:
+        for c in writes:
+            c.wait()
 
     if paged and straddle:
         # window B: the spilled rows [bt - c_over, bt) land at the START of
@@ -436,7 +466,7 @@ def _update_kernel(*args, quantized: bool, ring: bool, prefix: bool = False,
             ssems=ssems, pos_hbm=pos_hbm, posbuf=posbuf, psems=psems,
             babs=babs, pk_hbm=pk_hbm, pv_hbm=pv_hbm, pid_ref=pid_ref,
             plen_ref=plen_ref, ptab_ref=ptab_ref,
-            pkbuf=pkbuf, pvbuf=pvbuf, pfsems=pfsems,
+            pkbuf=pkbuf, pvbuf=pvbuf, pfsems=pfsems, write_wait=write_wait,
             block_t=block_t, block_k=block_k, scale=scale,
             ring_bounded=ring_bounded, pblock_k=pblock_k)
 
@@ -483,7 +513,8 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
             ks_hbm=None, vs_hbm=None, ksbuf=None, vsbuf=None, ssems=None,
             pos_hbm=None, posbuf=None, psems=None, babs=None,
             pk_hbm=None, pv_hbm=None, pid_ref=None, plen_ref=None,
-            ptab_ref=None, pkbuf=None, pvbuf=None, pfsems=None, *,
+            ptab_ref=None, pkbuf=None, pvbuf=None, pfsems=None,
+            write_wait=None, *,
             block_t: int, block_k: int, scale: float,
             ring_bounded: bool = False, pblock_k: int = 0):
     """One program: HG heads x BT queries against the ragged cache prefix.
@@ -576,6 +607,18 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
         )
 
     def start_dmas(slot, i):
+        # async write-back overlap (_update_kernel): blocks strictly before
+        # the RMW window read untouched rows and overlap with the
+        # write-back in flight; the first overlapping block waits the
+        # write copies ONCE, right before its own fetch is issued
+        if write_wait is not None:
+            wcopies, jstar = write_wait
+
+            @pl.when(i == jstar)
+            def _():
+                for c in wcopies:
+                    c.wait()
+
         k_dma(slot, i).start()
         v_dma(slot, i).start()
         if quantized:
@@ -714,6 +757,7 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
                 onehot, ksbuf[slot],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             s = s * ksc[:, None, :]
         if ring:
@@ -747,6 +791,7 @@ def _attend(idx_ref, npast_ref, q_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems,
                 onehot, vsbuf[slot],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             p = p * vsc[:, None, :]
         vv = vbuf[slot]
