@@ -452,7 +452,15 @@ _ENV_MUL = (
     jnp.bfloat16 if os.environ.get("LLAMAVK_Q4_MUL", "f32") == "bf16" else jnp.float32
 )
 # bf16 = VPU dequant + bf16 MXU dot; i8 = int8 activation quant + int8 MXU
-# dot with post-dot scale fold (decode batches only, see _I8_MAX_B)
+# dot with post-dot scale fold (decode batches only, see _I8_MAX_B).
+# f32 = feed the f32 dequant product straight to the MXU (skips the bf16
+# pack, ~1 VPU op/weight): measured +2% single-stream decode on int4
+# planes (6.36 vs 6.49 ms/step, v5e r4) but SLOWER wherever the MXU
+# matters (prefill 56.1 vs 54.0 ms/chunk; batch-64 serving would be
+# f32-FLOP-bound). Not batch-gated because the dot dtype changes numerics
+# and every exact-stream invariant (batched==single, lookup==plain)
+# requires ONE dtype per process — opt in per deployment for
+# latency-critical single-stream serving.
 _ENV_DOT = os.environ.get("LLAMAVK_Q4_DOT", "bf16")
 # scoped-VMEM budget per kernel instance (v5e exposes ~16 MB; leave headroom)
 _VMEM_BUDGET = 10 * 1024 * 1024
