@@ -152,6 +152,17 @@ def main():
             best_name, best_t = vname, t
 
     # --- 2. flash prefill write+attend at T --------------------------------
+    # MEASUREMENT ARTIFACT WARNING (discovered r4, tools/
+    # bench_prefill_ownrows.py): this section passes the FULL 32-layer
+    # cache as a loop-invariant, NON-donated argument while the kernel
+    # aliases it input->output — XLA inserts a copy of the whole ~256 MB
+    # cache per call, so the numbers below are cache-copy-dominated
+    # (~0.9 ms/layer). The REAL in-program cost (cache in the scan carry,
+    # donated) is ~0.08-0.1 ms/layer (~3 ms/chunk): prefill attention is
+    # NOT the chunk bottleneck; the matmul chain is (~46 ms at T=512,
+    # tools/diag_step_decomp.py --t 512). The r3 "hg=4 DMA-latency fix"
+    # conclusion drawn from this section measured the artifact, not the
+    # kernel.
     # The default prefill tiling is hg=1 (one head per program) x bt=256:
     # 64 sequential programs per layer, each paying its DMA round-trip
     # latencies — measured ~0.98 ms/layer (~15 us/program) against a ~0.05 ms

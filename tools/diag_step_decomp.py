@@ -67,6 +67,12 @@ def time_fn(fn, *args, inner=64):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=1,
+                    help="tokens per step (1 = decode, 512 = prefill chunk)")
+    args = ap.parse_args()
+    T = args.t
     cfg = ModelConfig(**LLAMA_CONFIGS["7B"])
     log("building params ...")
     params = synthetic_params(cfg, seed=0, int4=True)
@@ -74,8 +80,10 @@ def main():
     L, e, d = cfg.n_layer, cfg.n_embd, cfg.head_dim
     h = cfg.n_head
     layer_ids = jnp.arange(L, dtype=jnp.int32)
-    cos, sin = rope_cos_sin(jnp.full((1, 1), 256, jnp.int32), cfg.n_rot,
-                            cfg.rope_theta)
+    cos, sin = rope_cos_sin(
+        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (1, T)), cfg.n_rot,
+        cfg.rope_theta,
+    )
 
     def mm_step(x, params, with_norm, with_rope):
         lp = params.layers
@@ -87,11 +95,11 @@ def main():
                 xa = x
             qkv = q4_matmul(xa, lp.wqkv, layer_idx=l)
             if with_rope:
-                q = qkv[..., :e].reshape(1, 1, h, d)
-                k = qkv[..., e : 2 * e].reshape(1, 1, h, d)
+                q = qkv[..., :e].reshape(1, T, h, d)
+                k = qkv[..., e : 2 * e].reshape(1, T, h, d)
                 q = apply_rope(q, cos, sin)
                 k = apply_rope(k, cos, sin)
-                attn_in = q.reshape(1, 1, e) + k.reshape(1, 1, e)
+                attn_in = q.reshape(1, T, e) + k.reshape(1, T, e)
             else:
                 attn_in = qkv[..., :e]
             x = x + q4_matmul(attn_in, lp.wo, layer_idx=l)
@@ -117,29 +125,42 @@ def main():
             jnp.bfloat16
         )
 
-    x0 = jnp.ones((1, 1, e), jnp.bfloat16)
+    x0 = jnp.ones((1, T, e), jnp.bfloat16)
+    inner = 64 if T == 1 else 8
     for name, fn in [
         ("mm+silu", lambda x, p: mm_step(x, p, False, False)),
         ("mm+silu+norm", lambda x, p: mm_step(x, p, True, False)),
         ("mm+silu+norm+rope", lambda x, p: mm_step(x, p, True, True)),
     ]:
-        dt = time_fn(fn, x0, params)
-        log(f"{name:20s} {dt*1e3:6.2f} ms/step")
+        dt = time_fn(fn, x0, params, inner=inner)
+        log(f"{name:20s} {dt*1e3:6.2f} ms/step (T={T})")
 
     # full forward (int8 KV), with and without sampling
     cache = init_kv_cache(cfg, 1, 512, dtype=jnp.int8)
 
-    def full(state, params):
-        tok, cache, i = state
-        logits, cache, _ = llama_forward(
-            params, tok.reshape(1, 1), cache, jnp.int32(200) + i, cfg
-        )
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-        return (nxt, cache, i + 1)
+    if T == 1:
+        def full(state, params):
+            tok, cache, i = state
+            logits, cache, _ = llama_forward(
+                params, tok.reshape(1, 1), cache, jnp.int32(200) + i, cfg
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt, cache, i + 1)
 
-    dt = time_fn(full, (jnp.ones((1,), jnp.int32), cache, jnp.int32(0)),
-                 params, inner=64)
-    log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step (n_past ~200-392)")
+        dt = time_fn(full, (jnp.ones((1,), jnp.int32), cache, jnp.int32(0)),
+                     params, inner=64)
+        log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step (n_past ~200-392)")
+    else:
+        def fullpf(cache, params):
+            logits, cache, _ = llama_forward(
+                params, jnp.ones((1, T), jnp.int32), cache, jnp.int32(0),
+                cfg, logits_all=True,
+            )
+            return cache
+
+        dt = time_fn(fullpf, cache, params, inner=8)
+        log(f"{'full prefill':20s} {dt*1e3:6.2f} ms/chunk (T={T}, "
+            "logits_all)")
 
 
 if __name__ == "__main__":
