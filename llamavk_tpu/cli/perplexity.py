@@ -52,6 +52,13 @@ def make_chunk_nll(cfg, n_ctx: int, dtype=jnp.bfloat16, attn_impl: str = "auto",
         if paged:
             from ..models import init_paged_kv_cache
 
+            if n_ctx % page_size:
+                # a truncated table would under-cover the chunk tail and the
+                # kernel would index past the [1, nb] identity table
+                raise ValueError(
+                    f"paged perplexity: n_ctx ({n_ctx}) must be a multiple "
+                    f"of page_size ({page_size})"
+                )
             nb = n_ctx // page_size
             # pages 1..nb (page 0 is the reserved trash page by convention)
             cache = init_paged_kv_cache(cfg, nb + 1, page_size,

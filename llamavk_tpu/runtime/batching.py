@@ -74,8 +74,10 @@ class BatchConfig:
     shared_prefix: bool = False  # registered prefixes live in ONE shared
     # read-only pool the attention kernels pre-scan per row — slots hold only
     # suffix rows (no per-slot prefix copies at all; prefix KV memory is
-    # O(pool) instead of O(batch)). bf16 KV only; the general form of the
-    # reference's historyIndex indirection (vulkan/llama-vk.cpp:984-987).
+    # O(pool) instead of O(batch)). The POOL is always bf16; the slot cache
+    # may be bf16 or int8 (composition tested, r4), and tp composes (pool
+    # heads shard). The general form of the reference's historyIndex
+    # indirection (vulkan/llama-vk.cpp:984-987).
     prefix_pool: int = 4  # shared-prefix pool entries
     prefix_ctx: int = 256  # pool entry length (positions; multiple of 256)
     lookup_gamma: int = 0  # >0: prompt-lookup speculative decode. Each

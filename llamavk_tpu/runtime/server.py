@@ -119,6 +119,10 @@ class _Replica:
 
     @property
     def load(self) -> int:
+        # read WITHOUT the replica's cv lock: queue/slots mutate on the
+        # engine thread, so values can be momentarily stale — least-loaded
+        # placement is deliberately best-effort (a lock here would serialize
+        # every HTTP submit against the engine loop for no accuracy payoff)
         eng = self.engine
         return len(eng.queue) + sum(r is not None for r in eng.slots)
 
@@ -225,6 +229,10 @@ class LlamaServer:
                 self.replicas.append(rep)
         self.engine = self.replicas[0].engine  # single-replica back-compat
         self._rr = 0
+        # serializes register_prefix's (post-to-all, collect-all) sequence:
+        # concurrent registrations would otherwise be processed in different
+        # orders by different replicas and the per-replica ids diverge
+        self._prefix_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self.t_start = time.time()
         self.n_requests = 0
@@ -253,13 +261,17 @@ class LlamaServer:
 
     def register_prefix(self, tokens: list[int]) -> int:
         """Register on every replica; ids advance in lockstep (each replica
-        starts at 0 and sees the same registration sequence)."""
-        replies = [r.post("prefix", tokens) for r in self.replicas]
-        outs = [q.get() for q in replies]
+        starts at 0 and sees the same registration sequence — the lock makes
+        the whole post-to-all/collect-all sequence atomic across concurrent
+        HTTP callers, so no replica can interleave two registrations)."""
+        with self._prefix_lock:
+            replies = [r.post("prefix", tokens) for r in self.replicas]
+            outs = [q.get() for q in replies]
         for out in outs:
             if isinstance(out, Exception):
                 raise out
-        assert len(set(outs)) == 1, f"replica prefix ids diverged: {outs}"
+        if len(set(outs)) != 1:  # real error, not an assert (-O safe)
+            raise RuntimeError(f"replica prefix ids diverged: {outs}")
         return outs[0]
 
     # --- lifecycle ----------------------------------------------------------
@@ -382,8 +394,14 @@ class LlamaServer:
             )
             per.append(es)
             for k, v in es.items():
-                if isinstance(v, (int, float)):
-                    s[k] = s.get(k, 0) + v
+                if not isinstance(v, (int, float)):
+                    continue
+                # time counters tick concurrently across replicas, so their
+                # cross-replica SUM is not wall time — publish them under an
+                # explicit _sum name so tokens/t_decode-style math on the
+                # aggregate can't silently understate throughput
+                key = f"{k}_sum" if k.startswith("t_") and len(self.replicas) > 1 else k
+                s[key] = s.get(key, 0) + v
         s.update(
             uptime_s=round(time.time() - self.t_start, 1),
             requests=self.n_requests,
@@ -391,9 +409,9 @@ class LlamaServer:
             max_batch=self.bcfg.max_batch,
             replicas=len(self.replicas),
         )
-        if s.get("t_decode"):
+        if any(e.get("t_decode") for e in per):
             # aggregate decode throughput: replicas decode concurrently, so
-            # divide by wall uptime-bounded max, not the per-replica sum
+            # sum per-replica rates, never tokens over summed time
             s["decode_tok_s"] = round(
                 sum(
                     (e["tokens"] / e["t_decode"]) if e.get("t_decode") else 0

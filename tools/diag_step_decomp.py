@@ -1,19 +1,24 @@
-"""Round-4 decode-step decomposition: where does the gap between the matmul
-kernel sum (~5.6-5.8 ms at B=1 with int4 planes) and the full step
-(6.69-6.84 ms) go?
+"""Decode-step decomposition: where does the gap between the matmul kernel
+sum and the full step go — at B=1 AND at serving batch sizes (VERDICT r4 #1:
+B=32-64 ran at 45% of SoL with no decomposition artifact).
 
 Builds 7B-shaped synthetic params and times, with the same in-program scan +
 differential timing as bench.py:
 
-  mm        — 32 layers x (wqkv, wo, w13, w2) stacked q4 matmuls + logits,
-              nothing else (scan over layers, residual adds only)
-  mm+norm   — + the three rms_norm/dynamic-index sites per layer
+  mm          — 32 layers x (wqkv, wo, w13, w2) stacked q4 matmuls + logits,
+                nothing else (scan over layers, residual adds only)
+  mm+norm     — + the three rms_norm/dynamic-index sites per layer
   mm+norm+rope — + rope application on q/k (cos/sin from a fixed position)
-  full      — the real llama_forward decode step (attention, KV update,
-              everything) at n_past ~ 256, int8 KV
+  attn-only   — 32 x the fused flash_attention_update kernel alone (cache in
+                the scan carry, donated; q/k/v synthesized from the carry)
+  attn-read   — 32 x the read-only flash_attention kernel (same cache):
+                attn-only minus attn-read = the RMW cache-write cost
+  sample      — greedy argmax over [B, V] f32 logits alone
+  full        — the real llama_forward decode step at n_past ~ --npast
   full+sample — + greedy argmax (what bench.py times per step)
 
-Run:  PYTHONPATH=.:/root/.axon_site python tools/diag_step_decomp.py
+Run:  PYTHONPATH=.:/root/.axon_site python tools/diag_step_decomp.py \
+          [--batch 32] [--kv int8] [--ctx 512] [--npast 256] [--t 1]
 """
 
 import sys
@@ -28,6 +33,7 @@ from llamavk_tpu.models import (
     LLAMA_CONFIGS, ModelConfig, init_kv_cache, llama_forward,
     synthetic_params,
 )
+from llamavk_tpu.ops.flash_attn import flash_attention, flash_attention_update
 from llamavk_tpu.ops.norms import rms_norm
 from llamavk_tpu.ops.q4_matmul import q4_matmul
 from llamavk_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -38,7 +44,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, inner=64):
+def time_fn(fn, *args, inner=64, donate=()):
     """args[0] is the scan carry; args[1:] ride as jit ARGUMENTS (never
     closure captures — 7B params serialize through the axon AOT tunnel as
     multi-GB constants otherwise, CLAUDE.md rule)."""
@@ -71,11 +77,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=1,
                     help="tokens per step (1 = decode, 512 = prefill chunk)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--npast", type=int, default=256,
+                    help="decode position for the attention/full legs")
+    ap.add_argument("--kv", default="int8", choices=["int8", "bfloat16"])
+    ap.add_argument("--hg", type=int, default=0,
+                    help="override heads_per_program on the attn legs")
+    ap.add_argument("--no-int4", action="store_true")
     args = ap.parse_args()
-    T = args.t
-    cfg = ModelConfig(**LLAMA_CONFIGS["7B"])
-    log("building params ...")
-    params = synthetic_params(cfg, seed=0, int4=True)
+    T, B = args.t, args.batch
+    cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
+    log(f"building params (B={B}, T={T}, kv={args.kv}, ctx={args.ctx}) ...")
+    params = synthetic_params(cfg, seed=0, int4=not args.no_int4)
     jax.block_until_ready(params)
     L, e, d = cfg.n_layer, cfg.n_embd, cfg.head_dim
     h = cfg.n_head
@@ -95,11 +110,11 @@ def main():
                 xa = x
             qkv = q4_matmul(xa, lp.wqkv, layer_idx=l)
             if with_rope:
-                q = qkv[..., :e].reshape(1, T, h, d)
-                k = qkv[..., e : 2 * e].reshape(1, T, h, d)
+                q = qkv[..., :e].reshape(B, T, h, d)
+                k = qkv[..., e : 2 * e].reshape(B, T, h, d)
                 q = apply_rope(q, cos, sin)
                 k = apply_rope(k, cos, sin)
-                attn_in = q.reshape(1, T, e) + k.reshape(1, T, e)
+                attn_in = q.reshape(B, T, e) + k.reshape(B, T, e)
             else:
                 attn_in = qkv[..., :e]
             x = x + q4_matmul(attn_in, lp.wo, layer_idx=l)
@@ -125,7 +140,7 @@ def main():
             jnp.bfloat16
         )
 
-    x0 = jnp.ones((1, T, e), jnp.bfloat16)
+    x0 = jnp.ones((B, T, e), jnp.bfloat16)
     inner = 64 if T == 1 else 8
     for name, fn in [
         ("mm+silu", lambda x, p: mm_step(x, p, False, False)),
@@ -133,27 +148,112 @@ def main():
         ("mm+silu+norm+rope", lambda x, p: mm_step(x, p, True, True)),
     ]:
         dt = time_fn(fn, x0, params, inner=inner)
-        log(f"{name:20s} {dt*1e3:6.2f} ms/step (T={T})")
+        log(f"{name:20s} {dt*1e3:6.2f} ms/step (B={B}, T={T})")
 
-    # full forward (int8 KV), with and without sampling
-    cache = init_kv_cache(cfg, 1, 512, dtype=jnp.int8)
+    kv_dtype = jnp.dtype(args.kv)
+    quant = kv_dtype == jnp.int8
+    hg = args.hg or None
+    npast = jnp.full((B,), args.npast, jnp.int32)
 
     if T == 1:
+        # --- attention kernel alone (cache in the donated carry, CLAUDE.md
+        # aliased-operand rule: a loop-invariant cache operand would make XLA
+        # copy the whole cache per call and time the copy)
+        def attn_step(state, params):
+            x, ck, cv, cks, cvs = state  # x: [B, 1, e]
+            qkv = x.reshape(B, 1, h, d)
+            out_sum = jnp.zeros((B, 1, h, d), jnp.float32)
+
+            def layer(carry, l):
+                ck, cv, cks, cvs, acc = carry
+                if quant:
+                    o, ck, cv, cks, cvs = flash_attention_update(
+                        qkv, qkv, qkv, ck, cv, npast, l,
+                        k_scale=cks, v_scale=cvs, heads_per_program=hg,
+                    )
+                else:
+                    o, ck, cv = flash_attention_update(
+                        qkv, qkv, qkv, ck, cv, npast, l,
+                        heads_per_program=hg,
+                    )
+                return (ck, cv, cks, cvs, acc + o), None
+
+            (ck, cv, cks, cvs, acc), _ = jax.lax.scan(
+                layer, (ck, cv, cks, cvs, out_sum), layer_ids
+            )
+            x2 = (x + acc.reshape(B, 1, e).astype(jnp.bfloat16) * 0)
+            return (x2.astype(jnp.bfloat16), ck, cv, cks, cvs)
+
+        def attn_read_step(state, params):
+            x, ck, cv, cks, cvs = state
+            qkv = x.reshape(B, 1, h, d)
+            out_sum = jnp.zeros((B, 1, h, d), jnp.float32)
+
+            def layer(acc, l):
+                o = flash_attention(
+                    qkv, ck, cv, npast, layer_idx=l,
+                    k_scale=cks, v_scale=cvs, heads_per_program=hg,
+                )
+                return acc + o, None
+
+            acc, _ = jax.lax.scan(layer, out_sum, layer_ids)
+            x2 = (x + acc.reshape(B, 1, e).astype(jnp.bfloat16) * 0)
+            return (x2.astype(jnp.bfloat16), ck, cv, cks, cvs)
+
+        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+        st0 = (jnp.ones((B, 1, e), jnp.bfloat16), cache.k, cache.v,
+               cache.k_scale, cache.v_scale)
+        dt = time_fn(attn_step, st0, params, inner=inner)
+        log(f"{'attn-only(fused)':20s} {dt*1e3:6.2f} ms/step "
+            f"(32L, npast={args.npast}, hg={hg})")
+        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+        st0 = (jnp.ones((B, 1, e), jnp.bfloat16), cache.k, cache.v,
+               cache.k_scale, cache.v_scale)
+        dt = time_fn(attn_read_step, st0, params, inner=inner)
+        log(f"{'attn-read(no-write)':20s} {dt*1e3:6.2f} ms/step")
+
+        # --- sampler alone
+        def sample_step(state, params):
+            lg, i = state
+            nxt = jnp.argmax(lg[:, -1] + i.astype(jnp.float32), axis=-1)
+            return (lg + nxt[:, None, None].astype(jnp.float32) * 0, i + 1)
+
+        lg0 = jnp.zeros((B, 1, cfg.n_vocab), jnp.float32)
+        dt = time_fn(sample_step, (lg0, jnp.int32(0)), params, inner=inner)
+        log(f"{'sample(argmax)':20s} {dt*1e3:6.2f} ms/step")
+
+        # --- full forward, with and without sampling
+        def full_nosample(state, params):
+            tok, cache, i = state
+            logits, cache, _ = llama_forward(
+                params, tok.reshape(B, 1), cache, npast + i, cfg
+            )
+            nxt = (tok + logits[:, -1, 0].astype(jnp.int32) * 0)
+            return (nxt, cache, i + 1)
+
         def full(state, params):
             tok, cache, i = state
             logits, cache, _ = llama_forward(
-                params, tok.reshape(1, 1), cache, jnp.int32(200) + i, cfg
+                params, tok.reshape(B, 1), cache, npast + i, cfg
             )
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (nxt, cache, i + 1)
 
-        dt = time_fn(full, (jnp.ones((1,), jnp.int32), cache, jnp.int32(0)),
-                     params, inner=64)
-        log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step (n_past ~200-392)")
+        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+        dt = time_fn(full_nosample, (jnp.ones((B,), jnp.int32), cache,
+                                     jnp.int32(0)), params, inner=inner)
+        log(f"{'full(no-sample)':20s} {dt*1e3:6.2f} ms/step "
+            f"(npast {args.npast}+0..{2*inner})")
+        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+        dt = time_fn(full, (jnp.ones((B,), jnp.int32), cache, jnp.int32(0)),
+                     params, inner=inner)
+        log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step")
     else:
+        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+
         def fullpf(cache, params):
             logits, cache, _ = llama_forward(
-                params, jnp.ones((1, T), jnp.int32), cache, jnp.int32(0),
+                params, jnp.ones((B, T), jnp.int32), cache, jnp.int32(0),
                 cfg, logits_all=True,
             )
             return cache
