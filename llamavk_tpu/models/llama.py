@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..formats.ggml_io import Hparams
 from ..ops.flash_attn import flash_attention, flash_attention_update
+from ..ops.flash_decode import flash_decode_update
 from ..ops.kv_quant import quantize_rows
 from ..ops.norms import rms_norm
 from ..ops.pallas_backend import interpret_mode
@@ -362,6 +363,10 @@ def llama_forward(
     page_straddle: bool = False,  # paged + multi-token writes at ARBITRARY
     # n_past (speculative verify): allow a t-block write to cross a page
     # boundary (second RMW window in the kernel). bf16 pools only.
+    flat_decode: bool = True,  # t==1 flash decode through the flat
+    # work-list kernel (ops/flash_decode.py): one program per layer instead
+    # of one per batch row. Bit-identical streams at equal kv_block; False
+    # keeps the per-row grid kernel (A/B probe).
     kv_block: int | None = None,  # cap the flash kernels' KV block
     # (None/0 = fitted default, which is T-DEPENDENT: 512 for prefill-sized
     # calls t>=256, 256 for decode — exact-stream comparisons across chunk
@@ -548,7 +553,37 @@ def llama_forward(
                 f"(impl={impl}, t={t}, head_dim={d})"
             )
         wrow = wstart_l if ring else None
-        if impl == "flash" and t % min(256, t) == 0:
+        # single-token decode on plain (non-ring, non-prefix) caches routes
+        # through the FLAT work-list kernel: one program per layer instead of
+        # one per batch row — the per-program DMA latency that dominated
+        # batched decode attention (B=32 int8: 6.1-9.3 ms/step read vs a
+        # ~2.8-5.9 ms roofline, tools/diag_step_decomp.py --attn-sweep r5).
+        # Identical block partitioning/accumulation order at equal block_k,
+        # so streams are bit-identical to the grid kernel (tests/
+        # test_flash_decode.py). pp (traced commit / batch offsets) and
+        # ring/prefix modes keep the grid kernel; so does B=1, where the
+        # grid is already one program and measured marginally faster
+        # (6.48 vs 6.61 ms/step, r5 — the flat kernel's separate
+        # write/attend phases cost one extra DMA rendezvous).
+        if (
+            flat_decode and impl == "flash" and t == 1 and b > 1
+            and not ring and not prefix and commit is True
+        ):
+            args_fd = dict(
+                block_k=kv_block or bk_default, batch_offset=boff_l,
+            )
+            if paged:
+                args_fd["page_table"] = page_table
+            if quantized_kv:
+                attn, ck, cv, cks, cvs = flash_decode_update(
+                    q, k, v, ck, cv, npast_l, l,
+                    k_scale=cks, v_scale=cvs, **args_fd,
+                )
+            else:
+                attn, ck, cv = flash_decode_update(
+                    q, k, v, ck, cv, npast_l, l, **args_fd,
+                )
+        elif impl == "flash" and t % min(256, t) == 0:
             if quantized_kv:
                 # fused quantize + write + attend (one kernel, no XLA-level
                 # cache update ops — the per-slot DUS chain dominated batched

@@ -25,14 +25,28 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x: [..., T, H, D] (or [..., H, D] with matching cos/sin ranks).
 
     cos/sin: [..., T, D/2] broadcast over the head axis.
+
+    Lane-friendly formulation: instead of deinterleaving even/odd lanes
+    (x[..., 0::2] / 1::2 are strided cross-lane gathers, and the output
+    stack is another interleave — measured 2.9 ms per 512-token prefill
+    chunk, 0.8 ms per B=32 decode step across the 32-layer scan, r4/r5
+    decompositions), compute
+
+        y = x * CS + swap_pairs(x) * SN
+        CS = [c0, c0, c1, c1, ...],  SN = [-s0, s0, -s1, s1, ...]
+
+    which is ONE pair-swap shuffle per application; the expanded CS/SN
+    tables depend only on cos/sin, so XLA hoists them out of the layer
+    scan. Bit-identical to the pairwise form: y[2i] = x[2i]c - x[2i+1]s
+    and y[2i+1] = x[2i+1]c + x[2i]s use the same multiplies and one
+    commuted (rounding-identical) addition.
     """
     orig_dtype = x.dtype
+    d = x.shape[-1]
     xf = x.astype(jnp.float32)
-    x0 = xf[..., 0::2]
-    x1 = xf[..., 1::2]
-    c = cos[..., None, :]  # broadcast over heads (axis -2 of x)
-    s = sin[..., None, :]
-    y0 = x0 * c - x1 * s
-    y1 = x0 * s + x1 * c
-    y = jnp.stack([y0, y1], axis=-1).reshape(x.shape)
+    cs = jnp.repeat(cos, 2, axis=-1)[..., None, :]  # [..., T, 1, D]
+    sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), d // 2)
+    sn = (jnp.repeat(sin, 2, axis=-1) * sign)[..., None, :]
+    sw = xf.reshape(*x.shape[:-1], d // 2, 2)[..., ::-1].reshape(x.shape)
+    y = xf * cs + sw * sn
     return y.astype(orig_dtype)

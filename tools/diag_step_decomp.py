@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--hg", type=int, default=0,
                     help="override heads_per_program on the attn legs")
     ap.add_argument("--no-int4", action="store_true")
+    ap.add_argument("--only", default="all", choices=["all", "mm", "attn", "full"],
+                    help="run a subset of the legs")
+    ap.add_argument("--attn-sweep", action="store_true",
+                    help="sweep attn-read over hg x npast (per-program "
+                    "overhead hypothesis: time ~ #programs x #blocks)")
     args = ap.parse_args()
     T, B = args.t, args.batch
     cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
@@ -142,13 +147,14 @@ def main():
 
     x0 = jnp.ones((B, T, e), jnp.bfloat16)
     inner = 64 if T == 1 else 8
-    for name, fn in [
-        ("mm+silu", lambda x, p: mm_step(x, p, False, False)),
-        ("mm+silu+norm", lambda x, p: mm_step(x, p, True, False)),
-        ("mm+silu+norm+rope", lambda x, p: mm_step(x, p, True, True)),
-    ]:
-        dt = time_fn(fn, x0, params, inner=inner)
-        log(f"{name:20s} {dt*1e3:6.2f} ms/step (B={B}, T={T})")
+    if args.only in ("all", "mm"):
+        for name, fn in [
+            ("mm+silu", lambda x, p: mm_step(x, p, False, False)),
+            ("mm+silu+norm", lambda x, p: mm_step(x, p, True, False)),
+            ("mm+silu+norm+rope", lambda x, p: mm_step(x, p, True, True)),
+        ]:
+            dt = time_fn(fn, x0, params, inner=inner)
+            log(f"{name:20s} {dt*1e3:6.2f} ms/step (B={B}, T={T})")
 
     kv_dtype = jnp.dtype(args.kv)
     quant = kv_dtype == jnp.int8
@@ -181,36 +187,58 @@ def main():
             (ck, cv, cks, cvs, acc), _ = jax.lax.scan(
                 layer, (ck, cv, cks, cvs, out_sum), layer_ids
             )
-            x2 = (x + acc.reshape(B, 1, e).astype(jnp.bfloat16) * 0)
+            # REAL data dependency on the attention outputs (an exact *0
+            # lets XLA DCE the whole leg — measured -0.01 ms, r5)
+            x2 = x + (acc.reshape(B, 1, e) * 1e-30).astype(jnp.bfloat16)
             return (x2.astype(jnp.bfloat16), ck, cv, cks, cvs)
 
-        def attn_read_step(state, params):
-            x, ck, cv, cks, cvs = state
-            qkv = x.reshape(B, 1, h, d)
-            out_sum = jnp.zeros((B, 1, h, d), jnp.float32)
+        def make_attn_read(hg_, npast_):
+            npv = jnp.full((B,), npast_, jnp.int32)
 
-            def layer(acc, l):
-                o = flash_attention(
-                    qkv, ck, cv, npast, layer_idx=l,
-                    k_scale=cks, v_scale=cvs, heads_per_program=hg,
-                )
-                return acc + o, None
+            def attn_read_step(state, params):
+                x, ck, cv, cks, cvs = state
+                qkv = x.reshape(B, 1, h, d)
+                out_sum = jnp.zeros((B, 1, h, d), jnp.float32)
 
-            acc, _ = jax.lax.scan(layer, out_sum, layer_ids)
-            x2 = (x + acc.reshape(B, 1, e).astype(jnp.bfloat16) * 0)
-            return (x2.astype(jnp.bfloat16), ck, cv, cks, cvs)
+                def layer(acc, l):
+                    o = flash_attention(
+                        qkv, ck, cv, npv, layer_idx=l,
+                        k_scale=cks, v_scale=cvs, heads_per_program=hg_,
+                    )
+                    return acc + o, None
 
-        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
-        st0 = (jnp.ones((B, 1, e), jnp.bfloat16), cache.k, cache.v,
-               cache.k_scale, cache.v_scale)
-        dt = time_fn(attn_step, st0, params, inner=inner)
-        log(f"{'attn-only(fused)':20s} {dt*1e3:6.2f} ms/step "
-            f"(32L, npast={args.npast}, hg={hg})")
-        cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
-        st0 = (jnp.ones((B, 1, e), jnp.bfloat16), cache.k, cache.v,
-               cache.k_scale, cache.v_scale)
-        dt = time_fn(attn_read_step, st0, params, inner=inner)
-        log(f"{'attn-read(no-write)':20s} {dt*1e3:6.2f} ms/step")
+                acc, _ = jax.lax.scan(layer, out_sum, layer_ids)
+                x2 = x + (acc.reshape(B, 1, e) * 1e-30).astype(jnp.bfloat16)
+                return (x2.astype(jnp.bfloat16), ck, cv, cks, cvs)
+
+            return attn_read_step
+
+        def run_leg(fn, label, extra=""):
+            # ONE cache live at a time (B=32 int8 caches are ~4.8 GB; legs
+            # that leak their predecessors OOM the chip)
+            cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
+            st0 = (jnp.ones((B, 1, e), jnp.bfloat16), cache.k, cache.v,
+                   cache.k_scale, cache.v_scale)
+            del cache
+            dt = time_fn(fn, st0, params, inner=inner)
+            del st0
+            log(f"{label:20s} {dt*1e3:6.2f} ms/step {extra}")
+
+        if args.attn_sweep:
+            # per-program-overhead hypothesis: cost should track
+            # (#programs = B * h/hg) x (#blocks = ceil((npast+1)/256))
+            for hg_ in (32, 16, 8):
+                for npast_ in (64, 192, 448):
+                    run_leg(make_attn_read(hg_, npast_),
+                            f"attn-read hg={hg_:2d}", f"npast={npast_}")
+            return
+
+        if args.only in ("all", "attn"):
+            run_leg(attn_step, "attn-only(fused)",
+                    f"(32L, npast={args.npast}, hg={hg})")
+            run_leg(make_attn_read(hg, args.npast), "attn-read(no-write)")
+        if args.only not in ("all", "full"):
+            return
 
         # --- sampler alone
         def sample_step(state, params):
@@ -228,7 +256,8 @@ def main():
             logits, cache, _ = llama_forward(
                 params, tok.reshape(B, 1), cache, npast + i, cfg
             )
-            nxt = (tok + logits[:, -1, 0].astype(jnp.int32) * 0)
+            # real data dependency (a *0 term gets the whole forward DCE'd)
+            nxt = tok + (logits[:, -1, 0] * 1e-30).astype(jnp.int32)
             return (nxt, cache, i + 1)
 
         def full(state, params):
@@ -240,13 +269,17 @@ def main():
             return (nxt, cache, i + 1)
 
         cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
-        dt = time_fn(full_nosample, (jnp.ones((B,), jnp.int32), cache,
-                                     jnp.int32(0)), params, inner=inner)
+        st = (jnp.ones((B,), jnp.int32), cache, jnp.int32(0))
+        del cache
+        dt = time_fn(full_nosample, st, params, inner=inner)
+        del st
         log(f"{'full(no-sample)':20s} {dt*1e3:6.2f} ms/step "
             f"(npast {args.npast}+0..{2*inner})")
         cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
-        dt = time_fn(full, (jnp.ones((B,), jnp.int32), cache, jnp.int32(0)),
-                     params, inner=inner)
+        st = (jnp.ones((B,), jnp.int32), cache, jnp.int32(0))
+        del cache
+        dt = time_fn(full, st, params, inner=inner)
+        del st
         log(f"{'full+sample':20s} {dt*1e3:6.2f} ms/step")
     else:
         cache = init_kv_cache(cfg, B, args.ctx, dtype=kv_dtype)
