@@ -493,6 +493,10 @@ def synthetic_params(
     from ..models.llama import QEmbedding
     from ..ops.qweight import QWeight, i4_group_pad
 
+    if tp > 1:
+        # column-parallel weights (wqkv/w13/output) shard N over tp: a
+        # padded global N would land the pad entirely in the last shard
+        pad_n = 0
     if int4:
         from ..utils.int4_dispatch import ensure_int4_dispatch
 

@@ -46,9 +46,12 @@ def _weight_pspec(kind: str, w, stacked: bool):
     if stacked:
         spec = P("pp", *spec)  # layer dim over pipeline stages (size-1 = no-op)
     if isinstance(w, QWeight):
+        # static aux data (layout/chunks/n_orig) must MATCH the weight's or
+        # tree.map(params, specs) fails on treedef mismatch — int4 planes
+        # carry n_orig (column padding; 0 on tp loads, which never pad)
         return QWeight(
             packed=spec, scales=spec, bias=None if w.bias is None else spec,
-            layout=w.layout, chunks=w.chunks,
+            layout=w.layout, chunks=w.chunks, n_orig=w.n_orig,
         )
     return spec
 

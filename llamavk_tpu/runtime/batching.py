@@ -639,8 +639,20 @@ class BatchedEngine:
             # dynamic_update_slice wins; see models/llama.py vector_past)
             return ctx.at[slots].set(rows)
 
+        @partial(decode_jit, static_argnames=("n",))
+        def _admit_merge(cur, last, rows, ids, n):
+            # scatter one admission chunk's DEVICE-side first tokens into
+            # the decode block's cur_tok/last_window operands — the block
+            # dispatches against these futures and the ids sync happens
+            # after it is in flight (_finish_admits), so the device never
+            # waits for a host round-trip between prefill and decode
+            lw = jnp.roll(last[rows], -1, axis=1).at[:, -1].set(ids)
+            return cur.at[rows].set(ids), last.at[rows].set(lw)
+
         self._decode_lookup = _decode_lookup
         self._ctx_write = _ctx_write
+        self._admit_merge = _admit_merge
+        self._pending_admits: list[tuple] = []
         if bcfg.lookup_gamma > 0:
             # lookup context rows are LOGICAL tokens; with a shared prefix
             # the logical span is prefix + suffix, beyond the (suffix-only)
@@ -1099,9 +1111,13 @@ class BatchedEngine:
                     self.top_p[slot] = req.sp.top_p
                     self.temp[slot] = req.sp.temp
                     self.penalty[slot] = req.sp.repeat_penalty
-                    self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
                     self.n_past[slot] = aligned + len(suffix)
                 rows = np.asarray([r.slot for r in chunk])
+                # ONE batched key write per chunk (per-request .at[].set
+                # was one tiny dispatch per admitted request)
+                self.keys = self.keys.at[jnp.asarray(rows.astype(np.int32))].set(
+                    jax.vmap(jax.random.key)(jnp.asarray(seeds))
+                )
                 self.cache, ids = self._admit_chunk_paged(
                     self.params,
                     self.cache,
@@ -1121,15 +1137,10 @@ class BatchedEngine:
                 self.stats["prefill_calls"] += 1
                 pending.append((chunk, ids))
 
-        for chunk, ids in pending:
-            ids = np.asarray(ids)
-            for j, req in enumerate(chunk):
-                tok = int(ids[j])
-                slot = req.slot
-                self._emit(req, tok)
-                self.cur_tok[slot] = tok
-                self.last_window[slot] = np.roll(self.last_window[slot], -1)
-                self.last_window[slot, -1] = tok
+        # first-token syncs are DEFERRED: step() merges the device-side ids
+        # into the decode block's operands (_admit_merge) and only syncs
+        # them once the block is dispatched (_finish_admits)
+        self._pending_admits.extend(pending)
 
         if self.bcfg.lookup_gamma > 0:
             # seed the device-side lookup context rows — LOGICAL tokens at
@@ -1142,10 +1153,11 @@ class BatchedEngine:
                     self.prefixes[req.prefix][2] if req.prefix >= 0 else []
                 )
                 # consumed INPUTS only: the admission prefill consumed
-                # generated[:-1] (recompute-on-readmission); the token just
-                # emitted above is cur_tok, fed back in the next round
+                # generated (recompute-on-readmission; the first sampled
+                # token is still unsynced in _pending_admits and feeds the
+                # next round as cur_tok, so it is NOT part of the context)
                 hist = (
-                    pfx_tokens + req.prompt + req.generated[:-1]
+                    pfx_tokens + req.prompt + req.generated
                 )[: self._ctx_len]
                 rows[j, : len(hist)] = hist
                 slots_a[j] = req.slot
@@ -1228,12 +1240,15 @@ class BatchedEngine:
                     self.top_p[slot] = req.sp.top_p
                     self.temp[slot] = req.sp.temp
                     self.penalty[slot] = req.sp.repeat_penalty
-                    self.keys = self.keys.at[slot].set(jax.random.key(req.seed))
                     self.n_past[slot] = pfx_len + plen
                 # ONE fused dispatch per chunk: seed/zero the scratch
                 # cache, prefill the (suffix) prompts, insert each row into
                 # its slot, sample the first tokens
                 rows = np.asarray([r.slot for r in chunk])
+                # ONE batched key write per chunk (not one per request)
+                self.keys = self.keys.at[jnp.asarray(rows.astype(np.int32))].set(
+                    jax.vmap(jax.random.key)(jnp.asarray(seeds))
+                )
                 if shared:
                     for req in chunk:
                         self.pfx_len[req.slot] = pfx_len
@@ -1285,15 +1300,8 @@ class BatchedEngine:
                 self.stats["prefill_calls"] = self.stats.get("prefill_calls", 0) + 1
                 pending.append((chunk, ids))
 
-        for chunk, ids in pending:
-            ids = np.asarray(ids)
-            for j, req in enumerate(chunk):
-                tok = int(ids[j])
-                slot = req.slot
-                self._emit(req, tok)
-                self.cur_tok[slot] = tok
-                self.last_window[slot] = np.roll(self.last_window[slot], -1)
-                self.last_window[slot, -1] = tok
+        # first-token syncs are DEFERRED (see _admit_paged / _finish_admits)
+        self._pending_admits.extend(pending)
 
         if self.bcfg.lookup_gamma > 0:
             # seed the device-side context rows the lookup matcher reads —
@@ -1309,6 +1317,34 @@ class BatchedEngine:
                 self.ctx_dev, jnp.asarray(rows), jnp.asarray(slots)
             )
 
+    def _finish_admits(self) -> None:
+        """Sync the deferred admission first tokens (emitting them to
+        streams) and mirror the device-side cur_tok/last_window updates into
+        the host arrays. Called AFTER the decode block is dispatched — the
+        ids finished on device before the block even started, so this wait
+        overlaps the block instead of stalling the device."""
+        pending, self._pending_admits = self._pending_admits, []
+        for chunk, ids in pending:
+            ids = np.asarray(ids)
+            for j, req in enumerate(chunk):
+                tok = int(ids[j])
+                slot = req.slot
+                self._emit(req, tok)
+                self.cur_tok[slot] = tok
+                self.last_window[slot] = np.roll(self.last_window[slot], -1)
+                self.last_window[slot, -1] = tok
+
+    def _block_inputs(self):
+        """(cur_tok, last_window) decode-block operands: the host arrays
+        with any pending admission chunks' device-side first tokens
+        scattered in (no sync — the ids stay futures)."""
+        cur = jnp.asarray(self.cur_tok)
+        last = jnp.asarray(self.last_window)
+        for chunk, ids in self._pending_admits:
+            rows = jnp.asarray(np.asarray([r.slot for r in chunk], np.int32))
+            cur, last = self._admit_merge(cur, last, rows, ids, n=len(chunk))
+        return cur, last
+
     def _emit(self, req: Request, tok: int) -> None:
         req.generated.append(tok)
         if req.on_token is not None:
@@ -1319,10 +1355,18 @@ class BatchedEngine:
             req.done = True
 
     def step(self) -> list[Request]:
-        """Admit queued requests, run one decode block, return finished ones."""
+        """Admit queued requests, run one decode block, return finished ones.
+
+        Admission prefill dispatches and the decode block dispatch are
+        pipelined: the block's operands take the admission chunks' sampled
+        first tokens as DEVICE futures (_block_inputs), and the first-token
+        sync (_finish_admits) runs only after the block is in flight — the
+        device executes prefills and the block back-to-back with no host
+        round-trip between them."""
         self._admit()
         active = [s for s in self.slots if s is not None]
         if not active:
+            self._finish_admits()  # defensive; admits imply active slots
             return []
         # n_steps is a STATIC arg of the jitted decode block: every distinct
         # value compiles a fresh program (~40 s on a 7B), so never derive it
@@ -1342,12 +1386,13 @@ class BatchedEngine:
         n_steps = min(self.bcfg.block, max(1, room))
         n_steps = 1 << (n_steps.bit_length() - 1)  # snap down to a power of 2
         t0 = time.perf_counter()
+        cur, lastw = self._block_inputs()
         if shared:
             toks, self.cache, last, self.keys = self._decode_shared(
                 self.params,
                 self.cache,
-                jnp.asarray(self.cur_tok),
-                jnp.asarray(self.last_window),
+                cur,
+                lastw,
                 self.keys,
                 jnp.asarray(self.n_past),
                 jnp.asarray(self.top_p),
@@ -1364,8 +1409,8 @@ class BatchedEngine:
             toks, self.cache, last, self.keys = self._decode(
                 self.params,
                 self.cache,
-                jnp.asarray(self.cur_tok),
-                jnp.asarray(self.last_window),
+                cur,
+                lastw,
                 self.keys,
                 jnp.asarray(self.n_past),
                 jnp.asarray(self.top_p),
@@ -1374,6 +1419,7 @@ class BatchedEngine:
                 n_steps,
                 self.bcfg.top_k,
             )
+        self._finish_admits()  # overlaps the decode block on device
         toks = np.asarray(toks)  # [B, n_steps]
         self.last_window = np.array(last)  # writable host copy
         self.stats["t_decode"] += time.perf_counter() - t0
@@ -1461,12 +1507,13 @@ class BatchedEngine:
         self._ensure_block_pages(1, n_steps)
 
         t0 = time.perf_counter()
+        cur, lastw = self._block_inputs()
         toks, self.cache, last, self.keys = self._decode_paged(
             self.params,
             self.cache,
             self._table_dev,
-            jnp.asarray(self.cur_tok),
-            jnp.asarray(self.last_window),
+            cur,
+            lastw,
             self.keys,
             jnp.asarray(self.n_past),
             jnp.asarray(self.top_p),
@@ -1475,6 +1522,7 @@ class BatchedEngine:
             n_steps,
             self.bcfg.top_k,
         )
+        self._finish_admits()  # overlaps the decode block on device
         toks = np.asarray(toks)
         self.last_window = np.array(last)
         self.stats["t_decode"] += time.perf_counter() - t0
@@ -1525,14 +1573,15 @@ class BatchedEngine:
             req is not None and req.sp.temp > 0 for req in self.slots
         )
         t0 = time.perf_counter()
+        cur, lastw = self._block_inputs()
         if sampled:
             (em, cnt, toks, self.cache, self.ctx_dev, last, self.keys,
              npast_dev) = self._decode_lookup_sampled(
                 self.params,
                 self.cache,
-                jnp.asarray(self.cur_tok),
+                cur,
                 self.ctx_dev,
-                jnp.asarray(self.last_window),
+                lastw,
                 self.keys,
                 jnp.asarray(self.n_past),
                 jnp.asarray(self.top_p),
@@ -1544,13 +1593,12 @@ class BatchedEngine:
                 g,
                 self.bcfg.top_k,
             )
-            self.last_window = np.array(last)
         else:
             em, cnt, toks, self.cache, self.ctx_dev, npast_dev = (
                 self._decode_lookup(
                     self.params,
                     self.cache,
-                    jnp.asarray(self.cur_tok),
+                    cur,
                     self.ctx_dev,
                     jnp.asarray(self.n_past),
                     table,
@@ -1559,6 +1607,11 @@ class BatchedEngine:
                     g,
                 )
             )
+        self._finish_admits()  # overlaps the decode rounds on device
+        if sampled:
+            # sync AFTER _finish_admits (np.array forces a device sync; the
+            # block output windows already include the admitted rows)
+            self.last_window = np.array(last)
         em = np.asarray(em)  # [n_steps, B, g]
         cnt = np.asarray(cnt)  # [n_steps, B]
         toks_h = np.asarray(toks)
