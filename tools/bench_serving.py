@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--n-pages", type=int, default=0,
                     help="pool pages (0 = flat footprint; smaller "
                     "oversubscribes slots and may preempt)")
+    ap.add_argument("--prompt-range", type=int, nargs=2, default=(8, 128),
+                    metavar=("LO", "HI"),
+                    help="prompt lengths drawn uniform [LO, HI) — raise for "
+                    "long-context loads (with --n-ctx 2048: e.g. 256 1024)")
+    ap.add_argument("--predict-range", type=int, nargs=2, default=(32, 160),
+                    metavar=("LO", "HI"),
+                    help="generation budgets drawn uniform [LO, HI)")
     args = ap.parse_args()
     sp_load = (SamplerParams(temp=0.0) if args.greedy
                else SamplerParams(temp=0.8))
@@ -71,11 +78,14 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    plo, phi = args.prompt_range
+    glo, ghi = args.predict_range
+
     def make_load(n):
         out = []
         for i in range(n):
-            plen = int(rng.integers(8, 128))
-            npred = int(rng.integers(32, 160))
+            plen = int(rng.integers(plo, phi))
+            npred = int(rng.integers(glo, ghi))
             prompt = rng.integers(10, cfg.n_vocab - 10, plen).tolist()
             out.append((prompt, plen, npred, i))
         return out
@@ -85,9 +95,14 @@ def main():
     # shape; measure steady state). 7 same-bucket submits chunk as 4+2+1.
     log("warmup (jit compilation) ...")
     t0 = time.perf_counter()
-    for plen in (7, 15, 31, 63, 127):
+    wb, warm_lens = 8, []
+    while wb // 2 < phi and wb <= args.n_ctx:
+        if wb >= plo:  # bucket [wb/2+1, wb] intersects the load's range
+            warm_lens.append(min(wb, args.n_ctx) - 1)
+        wb *= 2
+    for plen in warm_lens:
         for _ in range(7):
-            eng.submit(list(range(10, 10 + plen)), 2, sp=sp_load)
+            eng.submit([10] * plen, 2, sp=sp_load)
         eng.run()
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
     eng.stats.update(tokens=0, steps=0, t_decode=0.0, prefills=0, prefill_calls=0)

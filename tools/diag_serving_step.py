@@ -1,0 +1,151 @@
+"""Serving decode-step decomposition (r5): pure-decode bench measures
+18.1 ms/step at B=64 int8 (argmax, flat cache, bk=256) but the serving
+engine's paged blocks run 27 ms/step. Attribute the gap:
+
+  sampler      — sample_tokens_batched alone on [B, V] logits (top-k 64,
+                 top-p, repeat penalty — what every serving step pays)
+  argmax       — plain argmax on the same logits (what bench.py pays)
+  flat+argmax  — full forward, flat int8 cache, greedy
+  flat+sampler — full forward, flat int8 cache, production sampler
+  paged+argmax — full forward through a page pool (page_size -> bk)
+  paged+sampler— the serving configuration
+
+Run: PYTHONPATH=.:/root/.axon_site python tools/diag_serving_step.py \
+        [--batch 64] [--ctx 512] [--page-size 64]
+"""
+
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llamavk_tpu.models import (
+    LLAMA_CONFIGS, ModelConfig, init_kv_cache, init_paged_kv_cache,
+    llama_forward, synthetic_params,
+)
+from llamavk_tpu.runtime.sampling import sample_tokens_batched
+from llamavk_tpu.utils.jitopts import decode_jit
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, inner=64):
+    @partial(decode_jit, static_argnames=("n",))
+    def loop(args, n):
+        def body(c, _):
+            return fn(c, *args[1:]), None
+
+        out, _ = jax.lax.scan(body, args[0], None, length=n)
+        return jax.tree.leaves(out)[0].ravel()[:1].astype(jnp.float32).sum()
+
+    def t(n):
+        np.asarray(loop(args, n))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(args, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(3 * inner) - t(inner)) / (2 * inner)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--model", default="7B", choices=list(LLAMA_CONFIGS))
+    ap.add_argument("--ctx", type=int, default=512)
+    ap.add_argument("--npast", type=int, default=192)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--top-k", type=int, default=64)
+    args = ap.parse_args()
+    B = args.batch
+    cfg = ModelConfig(**LLAMA_CONFIGS[args.model])
+    V = cfg.n_vocab
+    e = cfg.n_embd
+    log(f"building params (B={B}) ...")
+    params = synthetic_params(cfg, seed=0, int4=True)
+    jax.block_until_ready(params)
+    npast = jnp.full((B,), args.npast, jnp.int32)
+    w = 64
+    lastw = jnp.full((B, w), 3, jnp.int32)
+    top_p = jnp.full((B,), 0.95, jnp.float32)
+    temp = jnp.full((B,), 0.8, jnp.float32)
+    pen = jnp.full((B,), 1.1, jnp.float32)
+    keys = jax.vmap(jax.random.key)(jnp.arange(B))
+    kd0 = jax.random.key_data(keys)
+
+    # --- samplers alone
+    def samp(state, params):
+        lg, kd, i = state
+        keys = jax.random.wrap_key_data(kd)
+        subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        nxt = sample_tokens_batched(
+            lg[:, 0] + i.astype(jnp.float32), lastw, subs, args.top_k,
+            top_p, temp, pen,
+        )
+        return (lg + nxt[:, None].astype(jnp.float32) * 1e-30,
+                jax.random.key_data(keys2), i + 1)
+
+    def amax(state, params):
+        lg, kd, i = state
+        nxt = jnp.argmax(lg[:, 0] + i.astype(jnp.float32), axis=-1)
+        return (lg + nxt[:, None].astype(jnp.float32) * 1e-30, kd, i + 1)
+
+    lg0 = jnp.zeros((B, V), jnp.float32)
+    dt = time_fn(amax, (lg0, kd0, jnp.int32(0)), params, inner=64)
+    log(f"{'argmax':16s} {dt*1e3:6.2f} ms/step")
+    dt = time_fn(samp, (lg0, kd0, jnp.int32(0)), params, inner=64)
+    log(f"{'sampler':16s} {dt*1e3:6.2f} ms/step (top_k={args.top_k})")
+
+    # --- full steps
+    def full(state, params, table, sample):
+        tok, cache, kd, i = state
+        kw = {} if table is None else dict(page_table=table)
+        logits, cache, _ = llama_forward(
+            params, tok.reshape(B, 1), cache, npast + i, cfg, **kw
+        )
+        if sample:
+            keys = jax.random.wrap_key_data(kd)
+            subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+            keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+            nxt = sample_tokens_batched(
+                logits[:, -1], lastw, subs, args.top_k, top_p, temp, pen
+            )
+            kd = jax.random.key_data(keys2)
+        else:
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        return (nxt, cache, kd, i + 1)
+
+    for paged in (False, True):
+        for sample in (False, True):
+            if paged:
+                ps = args.page_size
+                bpslot = args.ctx // ps
+                cache = init_paged_kv_cache(
+                    cfg, B * bpslot + 1, ps, dtype=jnp.int8
+                )
+                table = jnp.arange(1, B * bpslot + 1, dtype=jnp.int32)
+                table = table.reshape(B, bpslot)
+            else:
+                cache = init_kv_cache(cfg, B, args.ctx, dtype=jnp.int8)
+                table = None
+            st = (jnp.ones((B,), jnp.int32), cache, kd0, jnp.int32(0))
+            del cache
+            fn = partial(full, table=table, sample=sample)
+            dt = time_fn(lambda s, p: fn(s, p), st, params, inner=64)
+            del st
+            name = f"{'paged' if paged else 'flat'}+{'sampler' if sample else 'argmax'}"
+            log(f"{name:16s} {dt*1e3:6.2f} ms/step"
+                + (f" (ps={args.page_size})" if paged else ""))
+
+
+if __name__ == "__main__":
+    main()
