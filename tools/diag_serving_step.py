@@ -34,21 +34,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, inner=64):
-    @partial(decode_jit, static_argnames=("n",))
-    def loop(args, n):
+def time_fn(fn, carry0, *rest, inner=64):
+    # the carry (holding the multi-GB KV cache) is DONATED so the loop's
+    # input and output cache buffers alias — a non-donated carry doubles
+    # the cache footprint and OOMs B=64 flat int8 (2 x 9.7 GB)
+    @partial(decode_jit, static_argnames=("n",), donate_argnums=(0,))
+    def loop(carry, rest, n):
         def body(c, _):
-            return fn(c, *args[1:]), None
+            return fn(c, *rest), None
 
-        out, _ = jax.lax.scan(body, args[0], None, length=n)
-        return jax.tree.leaves(out)[0].ravel()[:1].astype(jnp.float32).sum()
+        out, _ = jax.lax.scan(body, carry, None, length=n)
+        return out, jax.tree.leaves(out)[0].ravel()[:1].astype(jnp.float32).sum()
 
     def t(n):
-        np.asarray(loop(args, n))
+        nonlocal carry0
+        carry0, s = loop(carry0, rest, n)
+        np.asarray(s)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(loop(args, n))
+            carry0, s = loop(carry0, rest, n)
+            np.asarray(s)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -78,8 +84,8 @@ def main():
     top_p = jnp.full((B,), 0.95, jnp.float32)
     temp = jnp.full((B,), 0.8, jnp.float32)
     pen = jnp.full((B,), 1.1, jnp.float32)
-    keys = jax.vmap(jax.random.key)(jnp.arange(B))
-    kd0 = jax.random.key_data(keys)
+    def fresh_kd():  # per-leg (time_fn donates the whole carry)
+        return jax.random.key_data(jax.vmap(jax.random.key)(jnp.arange(B)))
 
     # --- samplers alone
     def samp(state, params):
@@ -88,7 +94,7 @@ def main():
         subs = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
         keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         nxt = sample_tokens_batched(
-            lg[:, 0] + i.astype(jnp.float32), lastw, subs, args.top_k,
+            lg + i.astype(jnp.float32), lastw, subs, args.top_k,
             top_p, temp, pen,
         )
         return (lg + nxt[:, None].astype(jnp.float32) * 1e-30,
@@ -96,13 +102,15 @@ def main():
 
     def amax(state, params):
         lg, kd, i = state
-        nxt = jnp.argmax(lg[:, 0] + i.astype(jnp.float32), axis=-1)
+        nxt = jnp.argmax(lg + i.astype(jnp.float32), axis=-1)
         return (lg + nxt[:, None].astype(jnp.float32) * 1e-30, kd, i + 1)
 
-    lg0 = jnp.zeros((B, V), jnp.float32)
-    dt = time_fn(amax, (lg0, kd0, jnp.int32(0)), params, inner=64)
+    # fresh carry per leg — time_fn DONATES it
+    dt = time_fn(amax, (jnp.zeros((B, V), jnp.float32), fresh_kd(), jnp.int32(0)),
+                 params, inner=64)
     log(f"{'argmax':16s} {dt*1e3:6.2f} ms/step")
-    dt = time_fn(samp, (lg0, kd0, jnp.int32(0)), params, inner=64)
+    dt = time_fn(samp, (jnp.zeros((B, V), jnp.float32), fresh_kd(), jnp.int32(0)),
+                 params, inner=64)
     log(f"{'sampler':16s} {dt*1e3:6.2f} ms/step (top_k={args.top_k})")
 
     # --- full steps
@@ -137,7 +145,7 @@ def main():
             else:
                 cache = init_kv_cache(cfg, B, args.ctx, dtype=jnp.int8)
                 table = None
-            st = (jnp.ones((B,), jnp.int32), cache, kd0, jnp.int32(0))
+            st = (jnp.ones((B,), jnp.int32), cache, fresh_kd(), jnp.int32(0))
             del cache
             fn = partial(full, table=table, sample=sample)
             dt = time_fn(lambda s, p: fn(s, p), st, params, inner=64)
