@@ -83,7 +83,7 @@ def decode_step_bytes(params, cfg, batch, n_ctx, kv_itemsize, n_past_avg,
 
 def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
                params=None, measure: int = 128, do_prefill: bool = True,
-               int4: bool = True):
+               int4: bool = True, npast_base: int = 0):
     """Measure one (model, batch, kv dtype) decode config on the chip.
 
     Returns a dict with ms/step, tok/s, achieved GB/s, % of SoL — and the
@@ -171,7 +171,11 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
     n_past = best_np = measure
     rounds = 3
     for r in range(rounds):
-        n_past = measure * (r + 1) % (n_ctx - measure)
+        # npast_base > 0: measure the LONG-context regime (decode near the
+        # end of the window) instead of cycling through low positions
+        n_past = (npast_base + measure * (r + 1)) % (n_ctx - measure)
+        if npast_base:
+            n_past = max(n_past, npast_base % (n_ctx - measure))
         t0 = time.perf_counter()
         toks, cache = decode(params, toks[-1], cache, jnp.int32(n_past), measure)
         toks_h = np.asarray(toks)
@@ -292,6 +296,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1, help="decode batch size")
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--kv-dtype", default="int8", choices=["bfloat16", "int8"])
+    ap.add_argument("--npast", type=int, default=0,
+                    help="base decode position (long-context rows: measure "
+                    "near the end of the window, e.g. --n-ctx 2048 "
+                    "--npast 1500)")
     ap.add_argument("--no-prefill", action="store_true",
                     help="skip the prefill leg (large-batch logits_all "
                     "prefill programs exceed compile memory; the table "
@@ -317,7 +325,8 @@ def main():
         return
 
     r = run_config(args.model, args.batch, args.n_ctx, args.kv_dtype,
-                   int4=not args.no_int4, do_prefill=not args.no_prefill)
+                   int4=not args.no_int4, do_prefill=not args.no_prefill,
+                   npast_base=args.npast)
     print(
         json.dumps(
             {

@@ -34,7 +34,7 @@ from ..ops.norms import rms_norm
 from ..ops.pallas_backend import interpret_mode
 from ..ops.q4_matmul import q4_matmul
 from ..ops.qweight import QWeight
-from ..ops.rope import apply_rope, rope_cos_sin
+from ..ops.rope import apply_rope, apply_rope_pairwise, rope_cos_sin
 
 
 @dataclass(frozen=True)
@@ -530,8 +530,11 @@ def llama_forward(
             q = _linear_l(xa, lp.wq, l).reshape(bq, t, -1, d)  # local heads under TP
             k = _linear_l(xa, lp.wk, l).reshape(bq, t, -1, d)
             v = _linear_l(xa, lp.wv, l).reshape(bq, t, -1, d)
-        q = apply_rope(q, cos_l, sin_l)
-        k = apply_rope(k, cos_l, sin_l)  # RoPE'd K is what gets cached
+        # ggml-emulation oracle keeps the reference's pairwise rope graph
+        # shape (FMA-contraction-sensitive bit parity — ops/rope.py)
+        _rope = apply_rope if act_rt is None else apply_rope_pairwise
+        q = _rope(q, cos_l, sin_l)
+        k = _rope(k, cos_l, sin_l)  # RoPE'd K is what gets cached
         # Flash (default): ONE kernel writes the new K/V rows into layer l of
         # the stacked cache (aliased, in place) and attends over the ragged
         # valid prefix — no per-layer cache slice copies, no XLA update ops

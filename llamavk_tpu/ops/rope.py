@@ -21,6 +21,26 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta_base: float = 10000.
     return jnp.cos(ang), jnp.sin(ang)
 
 
+def apply_rope_pairwise(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Reference formulation (deinterleave pairs, rotate, re-interleave) —
+    kept for the ggml-emulation oracle path: the C reference's greedy
+    streams are bit-sensitive to XLA's FMA-contraction choices, and this
+    graph shape is the one the differential-parity harness locked in
+    (tests/test_reference_parity.py::test_greedy_stream_exact — the
+    lane-friendly form below flipped a q4_0 near-tie, r5). Production
+    paths use apply_rope; oracles (ggml_rounding) use this."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    c = cos[..., None, :]  # broadcast over heads (axis -2 of x)
+    s = sin[..., None, :]
+    y0 = x0 * c - x1 * s
+    y1 = x0 * s + x1 * c
+    y = jnp.stack([y0, y1], axis=-1).reshape(x.shape)
+    return y.astype(orig_dtype)
+
+
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x: [..., T, H, D] (or [..., H, D] with matching cos/sin ranks).
 
@@ -37,9 +57,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
     which is ONE pair-swap shuffle per application; the expanded CS/SN
     tables depend only on cos/sin, so XLA hoists them out of the layer
-    scan. Bit-identical to the pairwise form: y[2i] = x[2i]c - x[2i+1]s
-    and y[2i+1] = x[2i+1]c + x[2i]s use the same multiplies and one
-    commuted (rounding-identical) addition.
+    scan. The arithmetic is identical to the pairwise form under strict
+    IEEE evaluation (same multiplies, one commuted addition), but XLA's
+    FMA-contraction choices differ between the two graph shapes — the
+    ggml-emulation oracle therefore keeps apply_rope_pairwise (see
+    above), while every production path (which defines its own stream
+    contract) uses this form.
     """
     orig_dtype = x.dtype
     d = x.shape[-1]

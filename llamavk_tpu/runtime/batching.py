@@ -98,7 +98,13 @@ class BatchConfig:
     # (verify writes spill across page boundaries via the kernels'
     # page_straddle path, bf16 and int8). Excludes shared_prefix (the block
     # table IS the sharing mechanism).
-    page_size: int = 64  # pool page rows (power of two; n_ctx % page_size == 0)
+    page_size: int = 128  # pool page rows (power of two; n_ctx % page_size
+    # == 0). 128 is the measured sweet spot on the r5 mixed load (64 slots,
+    # 128 requests, int8): 1622.7 tok/s vs 1339.7 at 64 and 1490.9 at 256 —
+    # page rows set the flash kernels' KV block, and 64-row blocks double
+    # the per-item work-list overhead while 256 over-reads short contexts
+    # (round-up). Drop to 64 only when pool memory granularity matters more
+    # than throughput.
     n_pages: int = 0  # pool pages; 0 -> max_batch * n_ctx / page_size + 1
     # (the flat footprint — size it SMALLER to oversubscribe slots, which is
     # the point: long-context slots and short ones share one budget)

@@ -44,7 +44,7 @@ def main():
                     help="submit greedy requests (temp 0) instead of temp 0.8")
     ap.add_argument("--paged", action="store_true",
                     help="block-table paged KV pool (runtime/paged.py)")
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--page-size", type=int, default=128)  # measured sweet spot (r5 A/B: 128 > 64 > 256 on throughput)
     ap.add_argument("--no-int4", action="store_true",
                     help="int8 byte-packed weight planes (pre-r4 path) "
                     "instead of int4-plane storage")
