@@ -248,7 +248,9 @@ TABLE_CONFIGS = [
     ("7B", 4, "int8"),
     ("7B", 8, "bfloat16"),
     ("7B", 8, "int8"),
+    ("7B", 16, "int8"),
     ("7B", 32, "bfloat16"),
+    ("7B", 32, "int8"),
     ("7B", 64, "int8"),
     ("13B", 1, "bfloat16"),
     ("13B", 8, "int8"),
