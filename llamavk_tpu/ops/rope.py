@@ -5,6 +5,21 @@ for pair index i0 (stepping by 2 over the head dim), theta_i = 10000^(-i0/d),
 and (x0, x1) at positions (i0, i0+1) rotate by angle p * theta_i where p is
 the absolute token position. The reference applies RoPE to K before caching
 (`llama.cpp:1005`); we do the same so cached K needs no re-rotation.
+
+MEASURED NEGATIVE RESULT (v5e, r5 2026-08-21): a "lane-friendly"
+reformulation y = x*CS + swap_pairs(x)*SN (one pair-swap shuffle instead of
+two strided deinterleaves + an interleaving stack; CS/SN tables hoisted out
+of the layer scan) measured WORSE on real Mosaic — T=512 prefill rope cost
+rose 2.9 -> 7.8 ms/chunk (diag_step_decomp --t 512 --only mm:
+mm+norm+rope 53.5 vs 48.5 with this form) and B=1 decode slipped 6.48 ->
+6.82 ms/step. XLA lowers the strided slices into the surrounding fusions
+cheaply, while the minor-dim-2 reshape+flip forces a real relayout. It
+ALSO flipped a q4_0 greedy near-tie against the compiled C reference
+(FMA-contraction differs between the graph shapes even though strict-IEEE
+arithmetic is identical). The pairwise form below is therefore THE
+implementation, for production and oracle alike; `apply_rope_pairwise` is
+an alias kept for the oracle path's explicit dependence on this exact
+graph shape (tests/test_reference_parity.py locked it in).
 """
 
 from __future__ import annotations
@@ -21,14 +36,11 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta_base: float = 10000.
     return jnp.cos(ang), jnp.sin(ang)
 
 
-def apply_rope_pairwise(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Reference formulation (deinterleave pairs, rotate, re-interleave) —
-    kept for the ggml-emulation oracle path: the C reference's greedy
-    streams are bit-sensitive to XLA's FMA-contraction choices, and this
-    graph shape is the one the differential-parity harness locked in
-    (tests/test_reference_parity.py::test_greedy_stream_exact — the
-    lane-friendly form below flipped a q4_0 near-tie, r5). Production
-    paths use apply_rope; oracles (ggml_rounding) use this."""
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [..., T, H, D] (or [..., H, D] with matching cos/sin ranks).
+
+    cos/sin: [..., T, D/2] broadcast over the head axis.
+    """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     x0 = xf[..., 0::2]
@@ -41,35 +53,7 @@ def apply_rope_pairwise(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Arr
     return y.astype(orig_dtype)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [..., T, H, D] (or [..., H, D] with matching cos/sin ranks).
-
-    cos/sin: [..., T, D/2] broadcast over the head axis.
-
-    Lane-friendly formulation: instead of deinterleaving even/odd lanes
-    (x[..., 0::2] / 1::2 are strided cross-lane gathers, and the output
-    stack is another interleave — measured 2.9 ms per 512-token prefill
-    chunk, 0.8 ms per B=32 decode step across the 32-layer scan, r4/r5
-    decompositions), compute
-
-        y = x * CS + swap_pairs(x) * SN
-        CS = [c0, c0, c1, c1, ...],  SN = [-s0, s0, -s1, s1, ...]
-
-    which is ONE pair-swap shuffle per application; the expanded CS/SN
-    tables depend only on cos/sin, so XLA hoists them out of the layer
-    scan. The arithmetic is identical to the pairwise form under strict
-    IEEE evaluation (same multiplies, one commuted addition), but XLA's
-    FMA-contraction choices differ between the two graph shapes — the
-    ggml-emulation oracle therefore keeps apply_rope_pairwise (see
-    above), while every production path (which defines its own stream
-    contract) uses this form.
-    """
-    orig_dtype = x.dtype
-    d = x.shape[-1]
-    xf = x.astype(jnp.float32)
-    cs = jnp.repeat(cos, 2, axis=-1)[..., None, :]  # [..., T, 1, D]
-    sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), d // 2)
-    sn = (jnp.repeat(sin, 2, axis=-1) * sign)[..., None, :]
-    sw = xf.reshape(*x.shape[:-1], d // 2, 2)[..., ::-1].reshape(x.shape)
-    y = xf * cs + sw * sn
-    return y.astype(orig_dtype)
+# the ggml-emulation oracle names this graph shape explicitly (bit parity
+# with the compiled C reference is FMA-contraction-sensitive); it IS the
+# production implementation too — see the module docstring.
+apply_rope_pairwise = apply_rope
