@@ -74,13 +74,21 @@ def i4_slice_group(gc: int) -> int:
 
 def i4_group_pad(gc: int) -> int:
     """Per-chunk group count of the int4 storage plane: unchanged when a
-    slice grouping exists (i4_slice_group), else padded to a multiple of
-    128 with zero rows (zero weights x zero scales contribute nothing).
-    7B: gc 128 direct, w2's 344 -> 384 (+11.6% reads). 13B: gc 160 grouped
-    at c=4 (no pad — padding to 256 would cost +60%), w2's 432 -> 512."""
+    slice grouping exists (i4_slice_group), else padded with zero rows
+    (zero weights x zero scales contribute nothing) to the smallest count
+    a slice grouping EXISTS for — gp % 32 == 0 guarantees c=4 alignment
+    (gp*4 % 128 == 0), so the pad never exceeds 31 groups. Padding to a
+    full 128 multiple (the r4 rule) cost 7B's w2 +11.6% plane reads
+    (344 -> 384) where 344 -> 352 at c=4 costs +2.3%, and 13B's w2 +18.5%
+    (432 -> 512) vs 432 -> 448 at c=4 (+3.7%) — decode is weight-read
+    bound, so those reads are E2E time. 7B: gc 128 direct (c=1), w2
+    344 -> 352 (c=4). 13B: gc 160 grouped at c=4 (no pad), w2 432 -> 448
+    (c=4)."""
     if i4_slice_group(gc):
         return gc
-    return -(-gc // 128) * 128
+    gp = -(-gc // 32) * 32
+    assert i4_slice_group(gp), (gc, gp)
+    return gp
 
 
 def qweight_to_i4(qw: QWeight, pad_n: int = 0) -> QWeight:

@@ -206,28 +206,34 @@ def main():
     cache2 = init_kv_cache(cfg, 1, max(512, T))
     toks = jnp.ones((1, T), jnp.int32)
 
-    @partial(jax.jit, static_argnames=("inner",))
-    def chunk_loop(params_, toks_, cache_, inner):
+    @partial(jax.jit, static_argnames=("inner", "logits_all"))
+    def chunk_loop(params_, toks_, cache_, inner, logits_all=False):
         # params as an ARGUMENT, never a closure capture: captured weight
         # constants serialize through the axon AOT tunnel (CLAUDE.md)
         def body(c, _):
-            lg, c2, _ = llama_forward(params_, toks_, c, jnp.int32(0), cfg)
-            return c2, lg[0, 0, 0]
+            lg, c2, _ = llama_forward(params_, toks_, c, jnp.int32(0), cfg,
+                                      logits_all=logits_all)
+            return c2, lg[0, -1, 0]
         c2, lgs = jax.lax.scan(body, cache_, None, length=inner)
         return lgs.sum()
 
-    def run_chunks(inner):
-        np.asarray(chunk_loop(params, toks, cache2, inner))
+    def run_chunks(inner, logits_all=False):
+        np.asarray(chunk_loop(params, toks, cache2, inner, logits_all))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(chunk_loop(params, toks, cache2, inner))
+            np.asarray(chunk_loop(params, toks, cache2, inner, logits_all))
             best = min(best, time.perf_counter() - t0)
         return best
 
     dt_fwd = (run_chunks(12) - run_chunks(4)) / 8
     log(f"full forward chunk T={T}: {dt_fwd*1e3:.2f} ms "
         f"({T/dt_fwd:.0f} tok/s)")
+    # the perplexity/bench.py workload keeps every position's logits: the
+    # [T, K] x [K, 32000] output matmul runs at full T instead of T=1
+    dt_la = (run_chunks(12, True) - run_chunks(4, True)) / 8
+    log(f"full forward chunk T={T} logits_all: {dt_la*1e3:.2f} ms "
+        f"(logits_all term {1e3*(dt_la - dt_fwd):+.2f} ms)")
     if best_name is not None and dt_attn is not None:
         matmul_ms = best_t * L * 1e3
         attn_ms = dt_attn * L * 1e3
