@@ -140,7 +140,14 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
             _, lgs = jax.lax.scan(body, cache0, None, length=inner)
             return lgs.sum()
 
-        ptoks = jnp.ones((batch, n_ctx - measure), jnp.int32)
+        # the TRUE chunk: a full n_ctx-token window at n_past 0, exactly the
+        # reference's perplexity unit (512-token chunks). r5b: measuring a
+        # (n_ctx - measure)=384-token chunk and scaling by 512/384 overstated
+        # the 512-chunk by ~11% (54.2 vs 48.8 ms measured directly at T=512 —
+        # fixed per-chunk cost and lower MXU efficiency at the smaller M do
+        # not scale linearly; tools/bench_prefill.py --only-forward)
+        pf_t = min(n_ctx, 512)
+        ptoks = jnp.ones((batch, pf_t), jnp.int32)
 
         def run_pf(inner):
             np.asarray(prefill_loop(params, ptoks, cache, inner))
@@ -152,11 +159,11 @@ def run_config(model: str, batch: int, n_ctx: int, kv_dtype,
             return best
 
         best_pf = (run_pf(10) - run_pf(2)) / 8
-        n_pf = batch * (n_ctx - measure)
+        n_pf = batch * pf_t
         pf_ms_512 = best_pf / n_pf * 512 * 1e3
         log(
             f"prefill: {n_pf} tokens in {best_pf*1e3:.1f} ms = {n_pf/best_pf:.0f} tok/s"
-            f" ({pf_ms_512:.1f} ms per 512-token chunk-equivalent, amortized)"
+            f" ({pf_ms_512:.1f} ms per 512-token chunk, amortized in-program)"
         )
 
     log("compiling decode loop ...")
